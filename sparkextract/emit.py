@@ -1,0 +1,87 @@
+"""Stage 4 — reading order + markdown emission (O1, P5, A3, A4, O8).
+
+All pure Catalyst: the category→template render (pdf2markdown.py:311-324)
+is a when/otherwise chain (P5 boilerplate strip falls out of the
+otherwise('')); reading order (pdf2markdown.py:262-266) is the
+``ymin*3000 + xmin`` key with the stable-sort tiebreak
+(untouched-blocks-first, then list position — DESIGN.md §3) encoded in an
+``array_sort`` over structs; page and turn aggregation are
+``collect_list`` + ``array_join`` (A3/A4). Final ordering of the output
+table is the mandated window over (conv_id, turn_idx) (O8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import schema
+from .assemble import PAGE_KEY
+
+
+def render_blocks(blocks: DataFrame) -> DataFrame:
+    """A3 piece per block + O1 sort key. P5: abandon/figure/table/
+    table_footnote/formula_caption render '' (emitted-but-stripped)."""
+    t = F.col("text")
+    piece = (
+        F.when(F.col("block_type") == "title", F.concat(F.lit("\n# "), t, F.lit("\n")))
+        .when(
+            F.col("block_type") == "isolate_formula",
+            F.concat(F.lit("\n"), t, F.lit("\n")),
+        )
+        .when(
+            F.col("block_type").isin("plain text", "figure_caption", "table_caption"),
+            F.concat(F.lit(" "), t, F.lit(" ")),
+        )
+        .otherwise(F.lit(""))
+    )
+    okey = F.col("by0") * F.lit(schema.READ_ORDER_W) + F.col("bx0")
+    return blocks.select(
+        *PAGE_KEY,
+        okey.alias("okey"),
+        F.col("is_fixed").cast("int").alias("fixed_rank"),
+        "block_order",
+        piece.alias("piece"),
+        F.struct(
+            F.col("block_type").alias("type"),
+            F.col("bx0").alias("x0"),
+            F.col("by0").alias("y0"),
+            F.col("bx1").alias("x1"),
+            F.col("by1").alias("y1"),
+            F.col("text").alias("content"),
+            F.col("score").alias("score"),
+        ).alias("span"),
+    )
+
+
+def emit_extracted(blocks: DataFrame, pages: DataFrame) -> DataFrame:
+    """rendered blocks + page markers → extracted(conv_id, turn_idx,
+    main_text, spans). ``pages`` keeps empty pages alive in the A4 join."""
+    rendered = render_blocks(blocks)
+    ordered = F.array_sort(
+        F.collect_list(F.struct("okey", "fixed_rank", "block_order", "piece", "span"))
+    )
+    per_page = rendered.groupBy(*PAGE_KEY).agg(
+        F.array_join(F.transform(ordered, lambda x: x.piece), "").alias("page_md"),
+        F.transform(ordered, lambda x: x.span).alias("page_spans"),
+    )
+    pages_full = pages.join(per_page, PAGE_KEY, "left").select(
+        *PAGE_KEY,
+        "page_no",
+        F.coalesce("page_md", F.lit("")).alias("page_md"),
+        F.coalesce("page_spans", F.array().cast(per_page.schema["page_spans"].dataType))
+        .alias("page_spans"),
+    )
+    by_page = F.array_sort(
+        F.collect_list(F.struct("page_no", "page_seq", "page_md", "page_spans"))
+    )
+    return pages_full.groupBy("conv_id", "turn_idx").agg(
+        F.array_join(F.transform(by_page, lambda x: x.page_md), "\n\n").alias(
+            "main_text"
+        ),
+        F.flatten(F.transform(by_page, lambda x: x.page_spans)).alias("spans"),
+    )
+
+
+def page_markers(dets: DataFrame) -> DataFrame:
+    return dets.filter(F.col("branch") == -1).select(*PAGE_KEY, "page_no")

@@ -1,0 +1,207 @@
+"""Per-page numpy kernels used inside vectorized (Arrow-batched) UDFs.
+
+These are the sequential-fold pieces that are *not* relational
+(SURVEY.md §7.5): greedy NMS, the 10px bubble pass, line sessionization,
+interval subtraction, and byte-exact paragraph assembly. Each runs on a
+single page's (or block's) handful of boxes inside mapInPandas /
+applyInPandas — per-group cardinality is tiny, total work is linear.
+
+Semantics are pinned in DESIGN.md with reference file:line citations.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# ---------- scalar kernels ----------
+
+_PROT = re.compile(r"(\\(operatorname|mathrm|text|mathbf)\s?\*? {.*?})")
+_R1 = re.compile(r"(?!\\ )([\W_^\d])\s+?([\W_^\d])")
+_R2 = re.compile(r"(?!\\ )([\W_^\d])\s+?([a-zA-Z])")
+_R3 = re.compile(r"([a-zA-Z])\s+?([\W_^\d])")
+
+
+def latex_rm_whitespace(s: str) -> str:
+    """F1 (pdf2markdown.py:23-39): fixpoint whitespace removal."""
+    keep = [m[0].replace(" ", "") for m in _PROT.findall(s)]
+    s = _PROT.sub(lambda _m: str(keep.pop(0)), s)
+    prev = None
+    while prev != s:
+        prev = s
+        s = _R3.sub(r"\1\2", _R2.sub(r"\1\2", _R1.sub(r"\1\2", prev)))
+    return prev
+
+
+def md_escape(s: str) -> str:
+    """F3 (merge_blocks_and_spans.py:207-215)."""
+    for ch in ("*", "`", "~", "$"):
+        s = s.replace(ch, "\\" + ch)
+    return s
+
+
+_CJK = re.compile("[一-鿿]")
+
+
+def is_zh(s: str) -> bool:
+    """F2 (merge_blocks_and_spans.py:195-205)."""
+    return _CJK.search(s) is not None
+
+
+# ---------- geometry kernels (vectorized) ----------
+
+def nms_keep(boxes: np.ndarray, order: np.ndarray, iou_thres: float) -> np.ndarray:
+    """M3 greedy NMS. ``order`` = candidate indices pre-sorted by
+    (score DESC, det_idx ASC); suppress IoU > iou_thres. Returns kept indices
+    in ``order`` sequence. (layout_detection/models/yolo.py:74-80 semantics)
+    """
+    if len(order) == 0:
+        return order
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    kept: list[int] = []
+    for i in order:
+        if kept:
+            k = np.asarray(kept)
+            xl = np.maximum(boxes[i, 0], boxes[k, 0])
+            yt = np.maximum(boxes[i, 1], boxes[k, 1])
+            xr = np.minimum(boxes[i, 2], boxes[k, 2])
+            yb = np.minimum(boxes[i, 3], boxes[k, 3])
+            inter = np.clip(xr - xl, 0, None) * np.clip(yb - yt, 0, None)
+            union = areas[i] + areas[k] - inter
+            iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+            if (iou > iou_thres).any():
+                continue
+        kept.append(int(i))
+    return np.asarray(kept, dtype=np.int64)
+
+
+def bubble_pass(bs: np.ndarray) -> np.ndarray:
+    """O2 (paddle_ocr.py:57-78): stable (y0,x0) sort + 10px adjacent-swap
+    pass. Input (n,4) bboxes; returns row order as an index array."""
+    n = len(bs)
+    idx = np.lexsort((np.arange(n), bs[:, 0], bs[:, 1]))  # stable (y0, x0)
+    idx = list(idx)
+    for i in range(n - 1):
+        for j in range(i, -1, -1):
+            a, b = idx[j], idx[j + 1]
+            if abs(bs[b][1] - bs[a][1]) < 10 and bs[b][0] < bs[a][0]:
+                idx[j], idx[j + 1] = b, a
+            else:
+                break
+    return np.asarray(idx, dtype=np.int64)
+
+
+def y_overlap_gt(b1, b2, thr=0.8) -> bool:
+    """F8 (paddle_ocr.py:81-91 / merge_blocks_and_spans.py:7-17)."""
+    ov = max(0.0, min(b1[3], b2[3]) - max(b1[1], b2[1]))
+    return ov / min(b1[3] - b1[1], b2[3] - b2[1]) > thr
+
+
+def merge_det_boxes(bs: np.ndarray) -> np.ndarray:
+    """O7 (paddle_ocr.py:250-289): y-sessionize into lines (O3 fold) then
+    union x-touching boxes per line (O6 fold). Input/output (n,4)."""
+    if len(bs) == 0:
+        return bs.reshape(0, 4)
+    order = np.argsort(bs[:, 1], kind="stable")
+    lines: list[list[int]] = [[int(order[0])]]
+    for i in order[1:]:
+        if y_overlap_gt(bs[i], bs[lines[-1][-1]]):
+            lines[-1].append(int(i))
+        else:
+            lines.append([int(i)])
+    out = []
+    for line in lines:
+        row = bs[line]
+        row = row[np.argsort(row[:, 0], kind="stable")]
+        cur = row[0].copy()
+        for b in row[1:]:
+            if cur[2] >= b[0]:  # x-touch → envelope union (paddle_ocr.py:233)
+                cur[0], cur[1] = min(cur[0], b[0]), min(cur[1], b[1])
+                cur[2], cur[3] = max(cur[2], b[2]), max(cur[3], b[3])
+            else:
+                out.append(cur)
+                cur = b.copy()
+        out.append(cur)
+    return np.vstack(out)
+
+
+def subtract_intervals(lo: float, hi: float, masks: list[tuple[float, float]]):
+    """O5 + interval subtraction (paddle_ocr.py:108-153)."""
+    masks = sorted(masks)
+    merged: list[list[float]] = []
+    for m0, m1 in masks:
+        if merged and merged[-1][1] >= m0:
+            merged[-1][1] = max(merged[-1][1], m1)
+        else:
+            merged.append([m0, m1])
+    out = []
+    for m0, m1 in merged:
+        if m0 > hi or m1 < lo:
+            continue
+        if lo < m0:
+            out.append((lo, m0 - 1))
+        lo = max(m1 + 1, lo)
+    if lo <= hi:
+        out.append((lo, hi))
+    return out
+
+
+def split_by_masks(bs: np.ndarray, masks: np.ndarray) -> np.ndarray:
+    """J2 (paddle_ocr.py:156-172): subtract x-intervals of y-overlapping
+    formula masks from each text box."""
+    if len(masks) == 0:
+        return bs
+    out = []
+    for b in bs:
+        xiv = [(m[0], m[2]) for m in masks if y_overlap_gt(b, m)]
+        for lo, hi in subtract_intervals(b[0], b[2], xiv):
+            out.append((lo, b[1], hi, b[3]))
+    return np.asarray(out, dtype=np.float64).reshape(-1, 4)
+
+
+# ---------- paragraph assembly (A2) ----------
+
+def merge_para(types: list[str], contents: list[str], boxes: np.ndarray,
+               pool_order: np.ndarray, is_interline: bool) -> str:
+    """O3 + O4 + A2 for one block (merge_blocks_and_spans.py:19-88,228-268).
+
+    ``pool_order`` is the span-pool position standing in for Python list
+    order (the stable-sort tiebreak, SURVEY.md §7.5).
+    """
+    n = len(types)
+    if n == 0:
+        return ""
+    if not is_interline:  # fix_text_block: isolated → inline (:71-80)
+        types = ["inline" if t == "isolated" else t for t in types]
+    order = np.lexsort((pool_order, boxes[:, 1]))  # stable sort by y0
+    lines: list[list[int]] = [[int(order[0])]]
+    for i in order[1:]:
+        cur = lines[-1]
+        if types[i] == "isolated" or any(types[j] == "isolated" for j in cur):
+            lines.append([int(i)])
+        elif y_overlap_gt(boxes[i], boxes[cur[-1]]):
+            cur.append(int(i))
+        else:
+            lines.append([int(i)])
+    out = ""
+    for line in lines:
+        # O4: stable x0 sort over the line's y-order sequence (:54-58)
+        line = [line[k] for k in
+                sorted(range(len(line)), key=lambda k: (boxes[line[k]][0], k))]
+        joined = "".join(contents[i].strip() for i in line if types[i] == "text")
+        zh = bool(joined) and is_zh(joined)
+        for i in line:
+            t, c = types[i], ""
+            if t == "text":
+                c = md_escape(contents[i])
+            elif t in ("inline", "ignore-formula"):
+                c = f" ${contents[i].strip('$')}$ "
+            elif t == "isolated":
+                c = f"\n$$\n{contents[i].strip('$')}\n$$\n"
+            elif t == "footnote":
+                body = contents[i].strip("$")
+                c = f" ${body}$ " if "^" in body else f" $^{body}$ "
+            if c != "":
+                out += c.strip() if zh else c.strip() + " "
+    return out
