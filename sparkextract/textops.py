@@ -1,0 +1,186 @@
+"""Training-data pipeline operators over a documents table: deduplication
+(exact, MinHash+LSH, SimHash, n-gram Jaccard), language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Catalyst. Cross-engine determinism rules (the DuckDB oracle must
+hash-match): hashes are md5 hex *strings* (lexicographic MIN is
+well-defined and identical in any engine); nothing sums doubles in an
+engine-chosen order; bit decisions read hex characters, not parsed ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_MINHASH = 8  # seeds 0..7; bands of 2 → 4 LSH bands
+
+
+def words(documents: DataFrame) -> DataFrame:
+    """doc_id, word (split on single space — documents are space-joined)."""
+    return documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+
+
+def exact_dedup(documents: DataFrame, prefix: int = 64) -> DataFrame:
+    """Exact dedup on a normalized key: hash-groupBy, keeper = min id.
+    At scale this is one shuffle on the 16-byte key; count+min are
+    map-side combinable."""
+    return (
+        documents.select("doc_id", F.md5(F.substring("text", 1, prefix)).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """doc_id, shingle: distinct k-word shingles (SURVEY minhash base)."""
+    w = F.split("text", " ")
+    sh = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return documents.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def minhash_signature(documents: DataFrame, n: int = N_MINHASH) -> DataFrame:
+    """doc_id, seed, minhash: min over shingles of md5(seed:shingle).
+    One shuffle (groupBy doc_id, seed); min combines map-side."""
+    sh = shingles(documents)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band = 2 consecutive signature
+    rows; docs sharing any band bucket pair up. Scale path: the bucket
+    join replaces the all-pairs cross product."""
+    sig = minhash_signature(documents)
+    bands = sig.groupBy("doc_id", (F.col("seed") / 2).cast("int").alias("band")).agg(
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("bucket")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """16-bit SimHash: bit i votes +1/-1 by the i-th hex char of each
+    word's md5 (hex char >= '8' ⇔ high bit set); engine-portable."""
+    w = words(documents).select("doc_id", F.md5("word").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = w.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, max_doc_id: int = 100, threshold: float = 0.2
+) -> DataFrame:
+    """n-gram Jaccard near-dup: pairs sharing >= 1 shingle, similarity =
+    |A∩B| / |A∪B| (exact integers; the ratio divides identical ints)."""
+    sh = shingles(documents.where(F.col("doc_id") < max_doc_id))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def lang_id_ngram(documents: DataFrame) -> DataFrame:
+    """Language-ID heuristic: CJK char count vs ascii-letter count."""
+    cjk = F.length(F.regexp_replace("text", "[^一-鿿]", ""))
+    latin = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    return documents.select(
+        "doc_id",
+        cjk.alias("n_cjk"),
+        latin.alias("n_latin"),
+        F.when(cjk * 2 > latin, F.lit("cjk")).otherwise(F.lit("latin")).alias("script"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Quality heuristics: length, word count, punct ratio, stopword ratio.
+    Integer counts + one final division of exact ints (portable)."""
+    n_chars = F.length("text")
+    n_words = F.size(F.split("text", " "))
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+    n_stop = F.size(
+        F.filter(F.split("text", " "), lambda x: x.isin("the", "a", "of", "and", "to"))
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+        F.round(n_stop / n_words, 6).alias("stop_ratio"),
+    )
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer."""
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+    return documents.select(
+        "doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens")
+    )
+
+
+def fingerprint(documents: DataFrame, window: int = 8) -> DataFrame:
+    """Rolling polynomial fingerprint: word value = first-two-char codes +
+    length (engine-portable ints), weighted by 31^(pos mod window)."""
+    pw = [31**i for i in range(window)]
+    w = documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).where(F.col("word") != "")
+    padded = F.concat("word", F.lit("__"))  # 1-char words: engines disagree on ascii('')
+    wv = (
+        F.ascii(F.substring(padded, 1, 1)) * 65536
+        + F.ascii(F.substring(padded, 2, 1)) * 256
+        + F.length("word")
+    ).cast("bigint")
+    weight = F.element_at(
+        F.array(*[F.lit(p) for p in pw]), (F.col("pos") % window + 1).cast("int")
+    ).cast("bigint")
+    return w.groupBy("doc_id").agg(
+        F.pmod(F.sum(wv * weight), F.lit(982451653)).cast("bigint").alias("fingerprint")
+    )
