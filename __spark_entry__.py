@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sparkextract import relops, simsearch, textops  # noqa: E402
 from sparkextract.docsource import documents_as_transcripts  # noqa: E402
+from sparkextract.fused import extract_fused  # noqa: E402
 from sparkextract.minslice import min_slice, min_slice_sql  # noqa: E402
 from sparkextract.pipeline import extract  # noqa: E402
 
@@ -64,6 +65,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- full pipeline (not SQL-expressible → rows-only check; real
         # verification is tests/test_e2e_golden.py vs tests/oracle.py) ---
         "extract_pipeline": lambda s, d: extract(
+            documents_as_transcripts(_t(s, d, "documents"))
+        ).select("conv_id", "turn_idx", "turn_seq", "main_text"),
+        "extract_fused": lambda s, d: extract_fused(
             documents_as_transcripts(_t(s, d, "documents"))
         ).select("conv_id", "turn_idx", "turn_seq", "main_text"),
     }

@@ -1,0 +1,102 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+The flagship metric is extraction throughput in turns/sec (BASELINE.json
+"metric"); the suite also times the training-data operators. Execution is
+forced with the noop sink so timings measure the full plan, not collect().
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] cores (default 32)
+  BENCH_REPLICATE      extraction corpus multiplier (default 8)
+  BENCH_MASTER         override master (e.g. local[8] for scaling runs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkextract import pipeline, relops, simsearch, textops  # noqa: E402
+from sparkextract.docsource import (  # noqa: E402
+    documents_as_transcripts,
+    replicate_documents,
+)
+from sparkextract.fused import extract_fused  # noqa: E402
+from sparkextract.minslice import min_slice  # noqa: E402
+from sparkextract.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "8"))
+MASTER = os.environ.get("BENCH_MASTER", f"local[{CPUS}]")
+
+
+def _sf() -> float:
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run(spark) -> dict:
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")  # noqa: E731
+    docs = t("documents")
+    # replicated corpus inherits the source's 1-2 parquet splits — spread it
+    # (on a real cluster the input is already thousands of splits)
+    big_docs = replicate_documents(docs, REPLICATE).repartition(CPUS * 2)
+    transcripts = documents_as_transcripts(big_docs)
+    n_turns = transcripts.count()
+
+    def force(df) -> float:
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
+
+    timings: dict[str, float] = {}
+    # warm-up: JVM/codegen/Arrow paths (not reported)
+    force(min_slice(docs.limit(50)))
+
+    timings["extract_pipeline"] = force(extract_fused(transcripts))
+    timings["extract_staged"] = force(pipeline.extract(transcripts))
+    timings["extract_min_slice"] = force(min_slice(big_docs))
+    timings["dedup_exact"] = force(textops.exact_dedup(big_docs))
+    timings["minhash_signature"] = force(textops.minhash_signature(big_docs))
+    timings["lsh_candidate_pairs"] = force(textops.lsh_candidate_pairs(big_docs))
+    timings["simhash"] = force(textops.simhash(big_docs))
+    timings["token_count"] = force(textops.token_count(big_docs))
+    timings["doc_fingerprint"] = force(textops.fingerprint(big_docs))
+    timings["ann_cosine_topk"] = force(simsearch.ann_topk(t("embeddings")))
+    timings["cosine_neardup"] = force(simsearch.cosine_neardup(t("embeddings")))
+    timings["o5_interval_union"] = force(relops.interval_union(t("orders")))
+    timings["j1_first_wins"] = force(relops.first_wins_fill(t("lineitem")))
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "extraction+ops suite wall time (headline: turns/sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf(),
+        "master": MASTER,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / timings["extract_pipeline"], 1),
+    }
+
+
+def main() -> None:
+    spark = build_session(app="sparkextract-bench", master=MASTER)
+    try:
+        result = run(spark)
+    finally:
+        spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

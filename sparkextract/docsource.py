@@ -69,6 +69,17 @@ def payload_sql(doc_text: str = "text", doc_id: str = "doc_id") -> str:
     return f"concat_ws(chr(10), {joined})"
 
 
+def replicate_documents(documents: DataFrame, factor: int) -> DataFrame:
+    """Deterministic corpus scaling for benchmarks: factor copies with
+    distinct doc_ids (doc_id*factor + r). Narrow op — no shuffle."""
+    if factor <= 1:
+        return documents
+    r = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("r")
+    return documents.select(r, "*").select(
+        (F.col("doc_id") * factor + F.col("r")).alias("doc_id"), "text"
+    )
+
+
 def documents_as_transcripts(documents: DataFrame, convs: int = 97) -> DataFrame:
     """documents → transcripts-shaped DataFrame (input_hint schema)."""
     return documents.select(

@@ -57,6 +57,10 @@ def extract(
     formulas = recognize_formulas(dets, length_buckets=formula_length_buckets)
     texts = ocr_text_spans(dets)
     final_dets = model_dets.unionByName(formulas).unionByName(texts)
+    if cache_detections:
+        # final_dets fans out to spans/blocks/fill — without this the OCR
+        # applyInPandas recomputes once per consumer (6× in the plan)
+        final_dets = final_dets.persist()
     blocks = assemble_blocks(final_dets)
     extracted = emit_extracted(blocks, page_markers(dets))
     # O8: the mandated stable turn ordering window over (conv_id, turn_idx)

@@ -245,5 +245,7 @@ def gen_transcripts(n_convs=40, seed=42, payload_prob=0.6, skew_conv_turns=0):
 
 def write_parquet(path, n_convs=40, seed=42, **kw):
     df = gen_transcripts(n_convs=n_convs, seed=seed, **kw)
+    # Spark cannot read TIMESTAMP(NANOS) parquet — write micros
+    df["ts"] = df["ts"].astype("datetime64[us, UTC]")
     df.to_parquet(path, index=False)
     return path

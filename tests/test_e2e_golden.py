@@ -6,16 +6,17 @@ import math
 
 import oracle
 from sparkextract import pipeline, schema, synth
+from sparkextract.fused import extract_fused
 
 
 def _span_key(s):
     return (s["type"], s["x0"], s["y0"], s["x1"], s["y1"], s["content"], s["score"])
 
 
-def run_equality(spark, pdf, **extract_kw):
+def run_equality(spark, pdf, engine=pipeline.extract, **extract_kw):
     golden = oracle.extract_corpus(pdf)
     sdf = spark.createDataFrame(pdf, schema=schema.TRANSCRIPTS)
-    rows = pipeline.extract(sdf, **extract_kw).collect()
+    rows = engine(sdf, **extract_kw).collect()
     got = {(r.conv_id, r.turn_idx): r for r in rows}
     assert set(got) == set(golden), (
         f"turn set mismatch: extra={set(got) - set(golden)} "
@@ -43,6 +44,16 @@ def test_e2e_small(spark):
 def test_e2e_other_seed_with_options(spark):
     pdf = synth.gen_transcripts(n_convs=8, seed=123, skew_conv_turns=12)
     run_equality(spark, pdf, repartition=8, formula_length_buckets=4)
+
+
+def test_e2e_fused_small(spark):
+    pdf = synth.gen_transcripts(n_convs=14, seed=7)
+    run_equality(spark, pdf, engine=extract_fused)
+
+
+def test_e2e_fused_other_seed(spark):
+    pdf = synth.gen_transcripts(n_convs=8, seed=123, skew_conv_turns=12)
+    run_equality(spark, pdf, engine=extract_fused, repartition=8)
 
 
 def test_turn_seq_window(spark):
