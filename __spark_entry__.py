@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_md_escape": lambda s, d: relops.md_escape_prefix(_t(s, d, "documents")),
         "p5_boilerplate_emit": lambda s, d: relops.boilerplate_emit(_t(s, d, "events")),
         "p2_a1_conf_envelope": lambda s, d: relops.conf_envelope(_t(s, d, "lineitem")),
+        "f9_page_id": lambda s, d: relops.page_id_format(_t(s, d, "events")),
+        "p6_geometry_normalize": lambda s, d: relops.geometry_normalize(_t(s, d, "lineitem")),
+        "f6_f7_trunc_round": lambda s, d: relops.trunc_round(_t(s, d, "lineitem")),
         "extract_min_slice": lambda s, d: min_slice(_t(s, d, "documents")),
         # --- training-data ops: dedup / text analysis ---
         "dedup_exact": lambda s, d: textops.exact_dedup(_t(s, d, "documents")),
@@ -204,6 +207,25 @@ SELECT l_orderkey,
        COUNT(*) AS n_spans
 FROM lineitem WHERE l_discount >= 0.05
 GROUP BY l_orderkey
+""",
+        "f9_page_id": """
+SELECT event_id,
+       printf('%s_page_%04d', event_type, CAST(event_id % 500 AS INT)) AS page_id
+FROM events
+""",
+        "p6_geometry_normalize": """
+SELECT l_orderkey, l_linenumber,
+       LEAST(l_extendedprice, l_extendedprice * l_tax) AS x0,
+       LEAST(l_quantity, l_quantity * (1 + l_discount)) AS y0,
+       GREATEST(l_extendedprice, l_extendedprice * l_tax) AS x1,
+       GREATEST(l_quantity, l_quantity * (1 + l_discount)) AS y1
+FROM lineitem
+""",
+        "f6_f7_trunc_round": """
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS xi,
+       ROUND(l_discount, 2) AS score2
+FROM lineitem
 """,
         "extract_min_slice": min_slice_sql(),
         "dedup_exact": """

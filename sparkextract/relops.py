@@ -111,6 +111,42 @@ def boilerplate_emit(events: DataFrame) -> DataFrame:
     )
 
 
+def page_id_format(events: DataFrame) -> DataFrame:
+    """F9 (base_task.py:65,75): '%s_page_%04d' id formatting."""
+    return events.select(
+        "event_id",
+        F.format_string(
+            "%s_page_%04d", F.col("event_type"), (F.col("event_id") % 500).cast("int")
+        ).alias("page_id"),
+    )
+
+
+def geometry_normalize(lineitem: DataFrame) -> DataFrame:
+    """P6 (paddle_ocr.py:94-105 / merge_blocks_and_spans.py:118-124):
+    poly corner pairs → normalized bbox via least/greatest."""
+    ax, bx = F.col("l_extendedprice"), F.col("l_extendedprice") * F.col("l_tax")
+    ay, by = F.col("l_quantity"), F.col("l_quantity") * (1 + F.col("l_discount"))
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(ax, bx).alias("x0"),
+        F.least(ay, by).alias("y0"),
+        F.greatest(ax, bx).alias("x1"),
+        F.greatest(ay, by).alias("y1"),
+    )
+
+
+def trunc_round(lineitem: DataFrame) -> DataFrame:
+    """F7 int-truncation (pdf2markdown.py:89) + F6 round-2
+    (pdf2markdown.py:93) over generic numerics (non-negative → floor)."""
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice")).cast("bigint").alias("xi"),
+        F.round(F.col("l_discount"), 2).alias("score2"),
+    )
+
+
 def conf_envelope(lineitem: DataFrame) -> DataFrame:
     """P2 threshold filter + A1 envelope aggregation
     (merge_blocks_and_spans.py:58-64 shape)."""

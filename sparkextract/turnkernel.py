@@ -2,11 +2,11 @@
 
 Runs the post-detection stages — MFR (F1), OCR merge (O2/O7/J2), span→block
 fill (J1), line/paragraph assembly (O3/A2), reading order (O1), markdown
-emit (A3/A4) — for ONE turn, on the DETECTIONS-schema pandas frame the
-parse stage emits. Numpy-vectorized where the reference loops; reuses the
-same kernels the staged pipeline uses (ocr._ocr_page, kernels.merge_para,
-kernels.latex_rm_whitespace), so both paths share one tested
-implementation of each fold.
+emit (A3/A4) — for ONE turn, on plain numpy arrays (no per-group pandas
+frames: at ~tens of detections per page, frame construction costs more
+than the work). Shares the fold kernels with the staged pipeline
+(ocr.ocr_page_arrays, kernels.merge_para, kernels.latex_rm_whitespace) —
+one tested implementation of each reference fold.
 
 Why this exists: every turn is independent (SURVEY.md §3.1), so the
 scale-optimal plan is parse+extract fused in one narrow mapInPandas —
@@ -19,13 +19,13 @@ tests/oracle.py exactly.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 from . import kernels, schema
-from .ocr import _ocr_page
+from .ocr import ocr_page_arrays
 
 _SPAN_CATS = frozenset(["inline", "text", "isolated"])
 _FIX = frozenset(schema.FIX_BLOCK_TYPES)
+_OCR_REGION = frozenset(schema.OCR_REGION_CLASSES)
 
 
 def _fill_first_wins(sboxes: np.ndarray, bboxes: np.ndarray) -> np.ndarray:
@@ -39,86 +39,118 @@ def _fill_first_wins(sboxes: np.ndarray, bboxes: np.ndarray) -> np.ndarray:
     ox = np.minimum(sx1, bx1) - np.maximum(sx0, bx0)
     oy = np.minimum(sy1, by1) - np.maximum(sy0, by0)
     inter = np.where((ox >= 0) & (oy >= 0), ox * oy, 0.0)
-    area = ((sx1 - sx0) * (sy1 - sy0)).repeat(len(bboxes), axis=1)
+    area = np.broadcast_to((sx1 - sx0) * (sy1 - sy0), inter.shape)
     ratio = np.divide(inter, area, out=np.zeros_like(inter), where=area > 0)
     hit = ratio > schema.FILL_RATIO
-    first = np.where(hit.any(axis=1), hit.argmax(axis=1), -1)
-    return first
+    return np.where(hit.any(axis=1), hit.argmax(axis=1), -1)
 
 
-def run_turn(pdf: pd.DataFrame) -> tuple[str, list[tuple]]:
-    """One turn's detection rows → (main_text, spans). ``pdf`` must be the
-    full DETECTIONS frame of the turn (branch -1 markers included)."""
+def run_turn_arrays(
+    page_list: list[tuple[int, int]],  # (page_no, page_seq) marker rows
+    page_seq: np.ndarray,  # per-det arrays, any order within a page=det_order
+    branch: np.ndarray,
+    det_order: np.ndarray,
+    category: np.ndarray,  # object
+    score: np.ndarray,
+    boxes: np.ndarray,  # (n,4)
+    content: np.ndarray,  # object
+) -> tuple[str, list[tuple]]:
+    """One turn's detection arrays → (main_text, spans list of tuples)."""
     mds: list[str] = []
     out_spans: list[tuple] = []
-    # page order: page_no, then payload occurrence (A4, DESIGN.md §3)
-    page_seqs = (
-        pdf[pdf["branch"] == -1][["page_no", "page_seq"]]
-        .sort_values(["page_no", "page_seq"])["page_seq"]
-        .tolist()
-    )
-    by_page = dict(tuple(pdf.groupby("page_seq", sort=False)))
-    for ps in page_seqs:
-        page = by_page.get(ps)
-        dets = page[page["branch"] >= 0]
-        if dets.empty:
+    order_pages = sorted(page_list)  # (page_no, page_seq): A4 page order
+    for _pn, ps in order_pages:
+        sel = np.flatnonzero(page_seq == ps)
+        if len(sel) == 0:
             mds.append("")
             continue
+        sel = sel[np.argsort(det_order[sel], kind="stable")]
+        pb = branch[sel]
+        pcat = category[sel]
+        pscore = score[sel]
+        pbox = boxes[sel]
+        pcontent = content[sel].copy()
+        pord = det_order[sel]
+
         # MFR (F1) on the formula branch
-        mfd_mask = dets["branch"] == 1
-        if mfd_mask.any():
-            dets = dets.copy()
-            dets.loc[mfd_mask, "content"] = dets.loc[mfd_mask, "content"].map(
-                kernels.latex_rm_whitespace
-            )
-        # OCR merge (shared kernel with the staged path)
-        texts = _ocr_page(dets)
-        final = pd.concat([dets[dets["branch"].isin([0, 1])], texts], ignore_index=True)
-        final = final.sort_values("det_order", kind="stable").reset_index(drop=True)
+        for k in np.flatnonzero(pb == 1):
+            pcontent[k] = kernels.latex_rm_whitespace(pcontent[k])
 
-        cats = final["category"].to_numpy(object)
-        boxes = final[["x0", "y0", "x1", "y1"]].to_numpy(np.float64)
-        contents = final["content"].to_numpy(object)
-        scores = final["score"].to_numpy(np.float64)
-        orders = final["det_order"].to_numpy(np.int64)
+        # OCR merge: regions = OCR-able layout dets (pdf2markdown.py:209)
+        model = pb < 2
+        raws = np.flatnonzero(pb == 2)
+        reg_sel = np.array(
+            [i for i in range(len(pb))
+             if pb[i] == 0 and pcat[i] in _OCR_REGION],
+            dtype=np.int64,
+        )
+        mask_sel = np.flatnonzero(pb == 1)
+        tboxes, tscores, tcontents = ocr_page_arrays(
+            pbox[reg_sel], pbox[mask_sel],
+            pbox[raws], pscore[raws], [pcontent[i] for i in raws],
+        )
+        offset = int(pord[model].max()) + 1 if model.any() else 0
 
-        is_span = np.array([c in _SPAN_CATS for c in cats])
-        span_idx = np.flatnonzero(is_span)
-        # blocks: non-span dets + isolated duplicated as isolate_formula
-        block_rows = []  # (cat, det_row_index)
-        for i in range(len(cats)):
-            if cats[i] in _SPAN_CATS:
-                if cats[i] == "isolated":
+        # final page dets = model dets + OCR text spans, in det_order
+        n_model = int(model.sum())
+        n = n_model + len(tboxes)
+        cats = np.empty(n, dtype=object)
+        fbox = np.empty((n, 4), dtype=np.float64)
+        fcontent = np.empty(n, dtype=object)
+        fscore = np.empty(n, dtype=np.float64)
+        ford = np.empty(n, dtype=np.int64)
+        mi = np.flatnonzero(model)
+        cats[:n_model] = pcat[mi]
+        fbox[:n_model] = pbox[mi]
+        fcontent[:n_model] = pcontent[mi]
+        fscore[:n_model] = pscore[mi]
+        ford[:n_model] = pord[mi]
+        for j in range(len(tboxes)):
+            cats[n_model + j] = "text"
+            fbox[n_model + j] = tboxes[j]
+            fcontent[n_model + j] = tcontents[j]
+            fscore[n_model + j] = tscores[j]
+            ford[n_model + j] = offset + j
+
+        # spans pool + block list (pdf2markdown.py:272-298)
+        span_idx: list[int] = []
+        block_rows: list[tuple[str, int]] = []
+        for i in range(n):
+            c = cats[i]
+            if c in _SPAN_CATS:
+                span_idx.append(i)
+                if c == "isolated":
                     block_rows.append(("isolate_formula", i))
             else:
-                block_rows.append((cats[i], i))
-        bcats = [c for c, _ in block_rows]
-        bidx = np.array([i for _, i in block_rows], dtype=np.int64)
-        is_fixed = np.array([c in _FIX for c in bcats])
+                block_rows.append((c, i))
+        span_idx = np.asarray(span_idx, dtype=np.int64)
+        is_fixed = np.array([c in _FIX for c, _ in block_rows], dtype=bool)
         fix_pos = np.flatnonzero(is_fixed)
+        bidx = np.array([i for _, i in block_rows], dtype=np.int64)
 
         assign = _fill_first_wins(
-            boxes[span_idx], boxes[bidx[fix_pos]] if len(fix_pos) else np.empty((0, 4))
+            fbox[span_idx],
+            fbox[bidx[fix_pos]] if len(fix_pos) else np.empty((0, 4)),
         )
-        # A2 per fixed block
         texts_by_block: dict[int, str] = {}
         for k, fp in enumerate(fix_pos):
             mine = span_idx[assign == k]
             texts_by_block[int(fp)] = kernels.merge_para(
                 [cats[i] for i in mine],
-                [contents[i] for i in mine],
-                boxes[mine],
-                orders[mine],
-                is_interline=bcats[fp] == "isolate_formula",
+                [fcontent[i] for i in mine],
+                fbox[mine],
+                ford[mine],
+                is_interline=block_rows[fp][0] == "isolate_formula",
             )
-        # O1: untouched blocks first, then fixed, stable by det order
-        order_key = []
-        for k, (c, i) in enumerate(block_rows):
-            okey = boxes[i][1] * schema.READ_ORDER_W + boxes[i][0]
-            order_key.append((okey, 1 if is_fixed[k] else 0, orders[i], k))
-        order_key.sort()
+
+        # O1 reading order: untouched first, then fixed, stable (DESIGN §3)
+        okeys = sorted(
+            (fbox[i][1] * schema.READ_ORDER_W + fbox[i][0],
+             1 if is_fixed[k] else 0, ford[i], k)
+            for k, (_c, i) in enumerate(block_rows)
+        )
         md = ""
-        for _okey, _fx, _o, k in order_key:
+        for _ok, _fx, _o, k in okeys:
             c, i = block_rows[k]
             text = texts_by_block.get(k, "")
             if c == "title":
@@ -128,8 +160,8 @@ def run_turn(pdf: pd.DataFrame) -> tuple[str, list[tuple]]:
             elif c in ("plain text", "figure_caption", "table_caption"):
                 md += " " + text + " "
             out_spans.append(
-                (c, float(boxes[i][0]), float(boxes[i][1]), float(boxes[i][2]),
-                 float(boxes[i][3]), text, float(scores[i]))
+                (c, float(fbox[i][0]), float(fbox[i][1]), float(fbox[i][2]),
+                 float(fbox[i][3]), text, float(fscore[i]))
             )
         mds.append(md)
     return "\n\n".join(mds), out_spans
