@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: textops.fingerprint(_t(s, d, "documents")),
         # --- similarity search over embeddings ---
         "ann_cosine_topk": lambda s, d: simsearch.ann_topk(_t(s, d, "embeddings")),
+        "ann_ivf_topk": lambda s, d: simsearch.ivf_topk(_t(s, d, "embeddings")),
         "cosine_neardup": lambda s, d: simsearch.cosine_neardup(_t(s, d, "embeddings")),
         # --- full pipeline (not SQL-expressible → rows-only check; real
         # verification is tests/test_e2e_golden.py vs tests/oracle.py) ---
@@ -328,6 +329,43 @@ r AS (
   FROM p
 )
 SELECT q_id, n_id, dot, rank FROM r WHERE rank <= 10
+""",
+        "ann_ivf_topk": """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cell, qv AS cv FROM q WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id, q.qv, c.cell,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                      i -> q.qv[i] * c.cv[i])) AS BIGINT) AS cdot
+  FROM q CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cell ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS q_id, qv AS query_v, cell FROM assigned WHERE vec_id % 10 = 0
+),
+pairs AS (
+  SELECT qq.q_id, a.vec_id AS n_id,
+         CAST(list_sum(list_transform(range(1, len(qq.query_v) + 1),
+                                      i -> qq.query_v[i] * a.qv[i])) AS BIGINT) AS dot
+  FROM assigned a JOIN queries qq USING (cell)
+  WHERE a.vec_id <> qq.q_id
+)
+SELECT q_id, n_id, dot, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY dot DESC, n_id ASC) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= 5
 """,
         "cosine_neardup": """
 WITH q AS (

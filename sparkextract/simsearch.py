@@ -54,6 +54,45 @@ def ann_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame, k: int = 5, query_mod: int = 10, n_cells: int = 8
+) -> DataFrame:
+    """IVF-bucketed ANN (the scale path): deterministic centroids = the
+    first ``n_cells`` vectors (vec_id < n_cells); every vector is assigned
+    to its max-dot-product cell; queries search ONLY their own cell. The
+    probe join is (cell, cell)-keyed — candidate count ∝ n/n_cells per
+    query instead of n. Approximate by construction; exactness comes from
+    the DuckDB twin computing the identical quantized arithmetic."""
+    base = quantized(embeddings)
+    cents = base.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("q").alias("cv")
+    )
+    scored = base.join(F.broadcast(cents), F.lit(True)).select(
+        "vec_id", "q", "cell", _dot(F.col("q"), F.col("cv")).alias("cdot")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cell").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .where("rn = 1")
+        .select("vec_id", "q", "cell")
+    )
+    queries = assigned.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qv"), "cell"
+    )
+    pairs = assigned.join(F.broadcast(queries), "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored2 = pairs.select(
+        "q_id", F.col("vec_id").alias("n_id"), _dot(F.col("qv"), F.col("q")).alias("dot")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("n_id").asc())
+    return (
+        scored2.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "dot", "rank")
+    )
+
+
 def cosine_neardup(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
     """Embedding-cosine near-dup pairs: cos(a,b) > t via the integer-exact
     inequality dot² · 10⁶ > t²·10⁶ · |a|²·|b|² (no sqrt, no FP division).

@@ -99,10 +99,16 @@ def test_merge_intervals_remove():
 def _rand_spans(rng, n):
     spans = []
     for i in range(n):
-        t = rng.choices(["text", "inline", "isolated"], weights=[70, 20, 10])[0]
+        t = rng.choices(
+            ["text", "inline", "isolated", "footnote", "ignore-formula"],
+            weights=[60, 15, 10, 10, 5],
+        )[0]
         x0 = rng.uniform(0, 800)
         y0 = rng.choice([100, 103, 140, 180, 181])  # force y-overlap clusters
-        c = rng.choice(["hello *world*", "数据 引擎", "$x+y$", "a `b` c", "  pad  ", ""])
+        c = rng.choice(
+            ["hello *world*", "数据 引擎", "$x+y$", "a `b` c", "  pad  ", "",
+             "x^2", "$$a^b$$", "2"]
+        )
         spans.append({"type": t, "bbox": [x0, y0, x0 + rng.uniform(10, 200),
                                           y0 + rng.choice([20, 25, 30])],
                       "content": c})
