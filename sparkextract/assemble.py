@@ -71,6 +71,7 @@ def build_blocks(dets: DataFrame) -> DataFrame:
     )
     return blocks.select(
         *PAGE_KEY,
+        "page_no",
         F.col("det_order").alias("block_order"),
         F.col("category").alias("block_type"),
         "score",
@@ -106,28 +107,48 @@ def fill_spans(spans: DataFrame, blocks: DataFrame) -> DataFrame:
 
 
 def _para_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel over a salted-conversation group: iterates
+    (turn, page, block) slices via numpy boundaries."""
+    srt = pdf.sort_values(
+        ["turn_idx", "page_seq", "block_order", "span_order"], kind="stable"
+    )
+    turn = srt["turn_idx"].to_numpy(np.int64)
+    pseq = srt["page_seq"].to_numpy(np.int64)
+    border = srt["block_order"].to_numpy(np.int64)
+    btype = srt["block_type"].to_numpy(object)
+    stype = srt["span_type"].to_numpy(object)
+    sorder = srt["span_order"].to_numpy(np.int64)
+    boxes = srt[["sx0", "sy0", "sx1", "sy1"]].to_numpy(np.float64)
+    scontent = srt["span_content"].to_numpy(object)
+    conv = pdf["conv_id"].iat[0]
+
+    changed = (
+        (turn[1:] != turn[:-1])
+        | (pseq[1:] != pseq[:-1])
+        | (border[1:] != border[:-1])
+    )
+    bounds = np.r_[0, np.flatnonzero(changed) + 1, len(turn)]
     out = []
-    head = pdf.iloc[0]
-    for bo, grp in pdf.groupby("block_order", sort=True):
-        boxes = grp[["sx0", "sy0", "sx1", "sy1"]].to_numpy(np.float64)
+    for s, e in zip(bounds[:-1], bounds[1:]):
         text = kernels.merge_para(
-            list(grp["span_type"]),
-            list(grp["span_content"]),
-            boxes,
-            grp["span_order"].to_numpy(np.int64),
-            is_interline=grp["block_type"].iat[0] == "isolate_formula",
+            list(stype[s:e]),
+            list(scontent[s:e]),
+            boxes[s:e],
+            sorder[s:e],
+            is_interline=btype[s] == "isolate_formula",
         )
-        out.append(
-            (head["conv_id"], int(head["turn_idx"]), int(head["page_seq"]),
-             int(bo), text)
-        )
+        out.append((conv, int(turn[s]), int(pseq[s]), int(border[s]), text))
     return pd.DataFrame(out, columns=[f.name for f in PARA.fields])
 
 
-def merge_paragraphs(filled: DataFrame) -> DataFrame:
-    """O3+A2 per block (fold kernel), grouped per page to keep group counts
-    low while the kernel loops blocks internally."""
-    return filled.groupBy(*PAGE_KEY).applyInPandas(_para_group, schema=PARA)
+def merge_paragraphs(filled: DataFrame, salt: int = 16) -> DataFrame:
+    """O3+A2 fold per block, grouped by (conv_id, salted turn bucket) —
+    coarse groups amortize applyInPandas' per-group frame cost; the salt
+    caps group size under conversation skew (block ⊂ turn ⊂ bucket)."""
+    salted = filled.withColumn("salt", F.pmod(F.hash("turn_idx"), F.lit(salt)))
+    return salted.groupBy("conv_id", "salt").applyInPandas(
+        _para_group, schema=PARA
+    )
 
 
 def assemble_blocks(dets: DataFrame) -> DataFrame:

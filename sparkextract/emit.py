@@ -38,6 +38,7 @@ def render_blocks(blocks: DataFrame) -> DataFrame:
     okey = F.col("by0") * F.lit(schema.READ_ORDER_W) + F.col("bx0")
     return blocks.select(
         *PAGE_KEY,
+        "page_no",
         okey.alias("okey"),
         F.col("is_fixed").cast("int").alias("fixed_rank"),
         "block_order",
@@ -56,26 +57,37 @@ def render_blocks(blocks: DataFrame) -> DataFrame:
 
 def emit_extracted(blocks: DataFrame, pages: DataFrame) -> DataFrame:
     """rendered blocks + page markers → extracted(conv_id, turn_idx,
-    main_text, spans). ``pages`` keeps empty pages alive in the A4 join."""
+    main_text, spans). Page markers are UNIONED as sentinel rows (null
+    okey/piece/span) rather than joined back — empty pages stay alive in
+    the A4 join with one less exchange in the plan."""
     rendered = render_blocks(blocks)
-    ordered = F.array_sort(
-        F.collect_list(F.struct("okey", "fixed_rank", "block_order", "piece", "span"))
-    )
-    per_page = rendered.groupBy(*PAGE_KEY).agg(
-        F.array_join(F.transform(ordered, lambda x: x.piece), "").alias("page_md"),
-        F.transform(ordered, lambda x: x.span).alias("page_spans"),
-    )
-    pages_full = pages.join(per_page, PAGE_KEY, "left").select(
+    sentinel = pages.select(
         *PAGE_KEY,
         "page_no",
-        F.coalesce("page_md", F.lit("")).alias("page_md"),
-        F.coalesce("page_spans", F.array().cast(per_page.schema["page_spans"].dataType))
-        .alias("page_spans"),
+        F.lit(None).cast("double").alias("okey"),
+        F.lit(None).cast("int").alias("fixed_rank"),
+        F.lit(None).cast("int").alias("block_order"),
+        F.lit(None).cast("string").alias("piece"),
+        F.lit(None).cast(rendered.schema["span"].dataType).alias("span"),
+    )
+    both = rendered.unionByName(sentinel)
+    ordered = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.struct("okey", "fixed_rank", "block_order", "piece", "span")
+            )
+        ),
+        lambda x: x.piece.isNotNull(),
+    )
+    per_page = both.groupBy(*PAGE_KEY).agg(
+        F.first("page_no").alias("page_no"),
+        F.array_join(F.transform(ordered, lambda x: x.piece), "").alias("page_md"),
+        F.transform(ordered, lambda x: x.span).alias("page_spans"),
     )
     by_page = F.array_sort(
         F.collect_list(F.struct("page_no", "page_seq", "page_md", "page_spans"))
     )
-    return pages_full.groupBy("conv_id", "turn_idx").agg(
+    return per_page.groupBy("conv_id", "turn_idx").agg(
         F.array_join(F.transform(by_page, lambda x: x.page_md), "\n\n").alias(
             "main_text"
         ),

@@ -22,7 +22,12 @@ def min_slice(documents: DataFrame) -> DataFrame:
     lines = payload.select(
         "doc_id", F.posexplode(F.split("p", "\n")).alias("idx", "line")
     ).where(F.col("line").startswith("@det "))
-    f = F.split(F.expr("substr(line, 6)"), "\\|")
+    # materialize the field array once per row (each F.get on a raw
+    # expression would re-run substr+split)
+    lines = lines.select(
+        "doc_id", "idx", F.split(F.expr("substr(line, 6)"), "\\|").alias("f")
+    )
+    f = F.col("f")
     parsed = lines.select(
         "doc_id",
         "idx",

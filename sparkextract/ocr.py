@@ -77,46 +77,82 @@ def ocr_page_arrays(
     return out_boxes, out_scores, out_contents
 
 
-def _ocr_page(pdf: pd.DataFrame) -> pd.DataFrame:
-    """pandas wrapper for the staged pipeline's applyInPandas."""
-    first = pdf.iloc[0]
-    regions = pdf[pdf["branch"] == 0].sort_values("det_order")
-    masks = pdf[pdf["branch"] == 1][["x0", "y0", "x1", "y1"]].to_numpy(np.float64)
-    raws = pdf[pdf["branch"] == 2].sort_values("det_idx")
-    model = pdf[pdf["branch"].isin([0, 1])]
-    offset = int(model["det_order"].max()) + 1 if len(model) else 0
-
-    boxes, scores, contents = ocr_page_arrays(
-        regions[["x0", "y0", "x1", "y1"]].to_numpy(np.float64),
-        masks,
-        raws[["x0", "y0", "x1", "y1"]].to_numpy(np.float64),
-        raws["score"].to_numpy(np.float64),
-        list(raws["content"]),
+def _ocr_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel over a salted-conversation group: iterates the
+    group's (turn, page) slices via numpy boundaries (one pandas frame per
+    GROUP is applyInPandas' own overhead — keep groups coarse, work in
+    arrays)."""
+    srt = pdf.sort_values(
+        ["turn_idx", "page_seq", "branch", "det_idx"], kind="stable"
     )
-    cols = [f.name for f in schema.DETECTIONS.fields]
-    out = [
-        (
-            first["conv_id"], int(first["turn_idx"]), int(first["page_seq"]),
-            int(first["page_no"]), float(first["page_w"]), float(first["page_h"]),
-            -1, offset + i, 2, "text", scores[i],
-            b[0], b[1], b[2], b[3], contents[i],
+    turn = srt["turn_idx"].to_numpy(np.int64)
+    pseq = srt["page_seq"].to_numpy(np.int64)
+    branch = srt["branch"].to_numpy(np.int64)
+    dord = srt["det_order"].to_numpy(np.int64)
+    boxes = srt[["x0", "y0", "x1", "y1"]].to_numpy(np.float64)
+    score = srt["score"].to_numpy(np.float64)
+    content = srt["content"].to_numpy(object)
+    cat = srt["category"].to_numpy(object)
+    pno = srt["page_no"].to_numpy(np.int64)
+    pw = srt["page_w"].to_numpy(np.float64)
+    ph = srt["page_h"].to_numpy(np.float64)
+    conv = pdf["conv_id"].iat[0]
+
+    key = turn * (pseq.max() + 1 if len(pseq) else 1) + pseq
+    bounds = np.r_[0, np.flatnonzero(key[1:] != key[:-1]) + 1, len(key)]
+    out = []
+    region_set = frozenset(schema.OCR_REGION_CLASSES)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        pb = branch[s:e]
+        pcat = cat[s:e]
+        regions = np.array(
+            [i for i in range(len(pb)) if pb[i] == 0 and pcat[i] in region_set],
+            dtype=np.int64,
         )
-        for i, b in enumerate(boxes)
-    ]
+        # within-page rows are sorted by (branch, det_idx): branch-0 rows
+        # are in det_idx order == det_order order for regions; raws sorted
+        # by det_idx as the fake detector requires (DESIGN.md §2)
+        if len(regions):
+            regions = regions[np.argsort(dord[s:e][regions], kind="stable")]
+        masks = np.flatnonzero(pb == 1)
+        raws = np.flatnonzero(pb == 2)
+        model = pb < 2
+        tboxes, tscores, tcontents = ocr_page_arrays(
+            boxes[s:e][regions],
+            boxes[s:e][masks],
+            boxes[s:e][raws],
+            score[s:e][raws],
+            [content[s + i] for i in raws],
+        )
+        if not tboxes:
+            continue
+        offset = int(dord[s:e][model].max()) + 1 if model.any() else 0
+        for i, b in enumerate(tboxes):
+            out.append(
+                (
+                    conv, int(turn[s]), int(pseq[s]), int(pno[s]),
+                    float(pw[s]), float(ph[s]), -1, offset + i, 2, "text",
+                    tscores[i], b[0], b[1], b[2], b[3], tcontents[i],
+                )
+            )
+    cols = [f.name for f in schema.DETECTIONS.fields]
     return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 
 
-def ocr_text_spans(detections: DataFrame) -> DataFrame:
+def ocr_text_spans(detections: DataFrame, salt: int = 16) -> DataFrame:
     """detections → final OCR text span rows (branch 2, DETECTIONS schema).
 
     Catalyst pre-filter shrinks the shuffle to exactly the rows the kernel
     needs: OCR-able regions (pdf2markdown.py:209), formula masks, raw dets.
-    """
+    Grouping key = (conv_id, salted turn bucket): coarse enough to
+    amortize per-group overhead, salted so one huge conversation spreads
+    over ``salt`` groups (pages never split — page ⊂ turn ⊂ bucket)."""
     need = detections.filter(
         (F.col("branch") == 2)
         | (F.col("branch") == 1)
         | ((F.col("branch") == 0) & F.col("category").isin(schema.OCR_REGION_CLASSES))
-    )
-    return need.groupBy("conv_id", "turn_idx", "page_seq").applyInPandas(
-        lambda pdf: _ocr_page(pdf), schema=schema.DETECTIONS
+    ).withColumn("salt", F.pmod(F.hash("turn_idx"), F.lit(salt)))
+    return (
+        need.groupBy("conv_id", "salt")
+        .applyInPandas(lambda pdf: _ocr_group(pdf), schema=schema.DETECTIONS)
     )

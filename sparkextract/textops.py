@@ -37,7 +37,11 @@ def exact_dedup(documents: DataFrame, prefix: int = 64) -> DataFrame:
 
 def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     """doc_id, shingle: distinct k-word shingles (SURVEY minhash base)."""
-    w = F.split("text", " ")
+    # materialize the split as a column FIRST: an expression referenced
+    # inside a higher-order-function lambda is re-evaluated per element
+    # (split(text) would run 3× per shingle → quadratic per doc)
+    words_df = documents.select("doc_id", F.split("text", " ").alias("w"))
+    w = F.col("w")
     sh = F.when(
         F.size(w) >= k,
         F.transform(
@@ -45,24 +49,26 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return documents.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return words_df.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def minhash_signature(documents: DataFrame, n: int = N_MINHASH) -> DataFrame:
     """doc_id, seed, minhash: min over shingles of md5(seed:shingle).
-    One shuffle (groupBy doc_id, seed); min combines map-side."""
+
+    Computed as n parallel MIN aggregates over ONE pass of the shingle
+    set (no ×n seed explosion through the shuffle — map-side combine sees
+    each shingle once), then unpivoted to the (doc_id, seed, minhash)
+    shape. 8× less shuffle input than the naive explode."""
     sh = shingles(documents)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle")))).alias(f"s{s}")
+        for s in range(n)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{s}, s{s}" for s in range(n))
+    return wide.selectExpr(
+        "doc_id", f"stack({n}, {stack}) as (seed, minhash)"
+    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
 
 
 def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
