@@ -66,6 +66,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: simsearch.ann_topk(_t(s, d, "embeddings")),
         "ann_ivf_topk": lambda s, d: simsearch.ivf_topk(_t(s, d, "embeddings")),
         "cosine_neardup": lambda s, d: simsearch.cosine_neardup(_t(s, d, "embeddings")),
+        "cosine_neardup_blocked": lambda s, d: simsearch.cosine_neardup_blocked(
+            _t(s, d, "embeddings")
+        ),
+        "neardup_clusters": lambda s, d: simsearch.neardup_clusters(
+            _t(s, d, "documents")
+        ),
         # --- full pipeline (not SQL-expressible → rows-only check; real
         # verification is tests/test_e2e_golden.py vs tests/oracle.py) ---
         "extract_pipeline": lambda s, d: extract(
@@ -119,6 +125,34 @@ x AS (
 sig AS (
   SELECT doc_id, CAST(seed AS INT) AS seed, MIN(h) AS minhash FROM x GROUP BY 1, 2
 )
+"""
+)
+
+
+_NEARDUP_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _MINHASH[len("WITH ") :]
+    + """,
+b AS (
+  SELECT doc_id, seed // 2 AS band,
+         md5(string_agg(minhash, '|' ORDER BY minhash)) AS bucket
+  FROM sig GROUP BY doc_id, seed // 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS pa, b2.doc_id AS pb
+  FROM b a JOIN b b2 USING (band, bucket)
+  WHERE a.doc_id < b2.doc_id
+),
+edges AS (
+  SELECT pa AS a, pb AS bb FROM pairs
+  UNION ALL SELECT pb AS a, pa AS bb FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.bb FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
 """
 )
 
@@ -366,6 +400,32 @@ SELECT q_id, n_id, dot, rank FROM (
                                     ORDER BY dot DESC, n_id ASC) AS INT) AS rank
   FROM pairs
 ) WHERE rank <= 5
+""",
+        "neardup_clusters": _NEARDUP_CLUSTERS,
+        "cosine_neardup_blocked": """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(range(1, len(v) + 1),
+                                      i -> v[i] * v[i])) AS BIGINT) AS n2
+  FROM q
+),
+p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                                      i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+         a.n2 AS an, b.n2 AS bn
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, dot FROM p
+WHERE dot > 0
+  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 1000000.0
+      > 810000.0 * CAST(an AS DOUBLE) * CAST(bn AS DOUBLE)
 """,
         "cosine_neardup": """
 WITH q AS (

@@ -27,6 +27,12 @@ from sparkextract.docsource import (  # noqa: E402
     replicate_documents,
 )
 from sparkextract.fused import extract_fused  # noqa: E402
+
+
+def textops_clusters(spark, docs):
+    from sparkextract.simsearch import neardup_clusters
+
+    return neardup_clusters(docs)
 from sparkextract.minslice import min_slice  # noqa: E402
 from sparkextract.session import build_session  # noqa: E402
 
@@ -72,7 +78,10 @@ def run(spark) -> dict:
     timings["token_count"] = force(textops.token_count(big_docs))
     timings["doc_fingerprint"] = force(textops.fingerprint(big_docs))
     timings["ann_cosine_topk"] = force(simsearch.ann_topk(t("embeddings")))
-    timings["cosine_neardup"] = force(simsearch.cosine_neardup(t("embeddings")))
+    timings["cosine_neardup_blocked"] = force(
+        simsearch.cosine_neardup_blocked(t("embeddings"))
+    )
+    timings["neardup_clusters"] = force(textops_clusters(spark, t("documents")))
     timings["o5_interval_union"] = force(relops.interval_union(t("orders")))
     timings["j1_first_wins"] = force(relops.first_wins_fill(t("lineitem")))
 

@@ -12,6 +12,8 @@ functions — no Python in the hot path).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -91,6 +93,104 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "dot", "rank")
     )
+
+
+def cosine_neardup_blocked(
+    embeddings: DataFrame, threshold: float = 0.9, blocks: int = 8
+) -> DataFrame:
+    """Exact near-dup via block-nested-loop matmul: identical result set to
+    ``cosine_neardup`` (same integer quantization and squared compare) but
+    the inner product runs as ONE numpy matmul per block pair inside
+    applyInPandas instead of a per-pair higher-order function. Each vector
+    is replicated ``blocks`` times through one shuffle; compute per group
+    is a dense (n/B × n/B) GEMM — the classic all-pairs scale pattern."""
+    t2 = float(threshold * threshold * 1_000_000)
+    base = quantized(embeddings).withColumn(
+        "blk", F.col("vec_id") % F.lit(blocks)
+    )
+    partner = F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("partner")
+    rep = base.select("vec_id", "q", "blk", partner)
+    rep = rep.where(F.col("blk") <= F.col("partner")).select(
+        "vec_id", "q", "blk",
+        F.col("blk").alias("lo"), F.col("partner").alias("hi"),
+    ).unionByName(
+        base.select("vec_id", "q", "blk", partner)
+        .where(F.col("partner") < F.col("blk"))
+        .select("vec_id", "q", "blk",
+                F.col("partner").alias("lo"), F.col("blk").alias("hi"))
+    )
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(pdf["lo"].iat[0]), int(pdf["hi"].iat[0])
+        a = pdf[pdf["blk"] == lo]
+        b = pdf[pdf["blk"] == hi] if hi != lo else a
+        am = np.array(list(a["q"]), dtype=np.float64)
+        bm = np.array(list(b["q"]), dtype=np.float64)
+        if len(am) == 0 or len(bm) == 0:
+            return pd.DataFrame(columns=["a_id", "b_id", "dot"])
+        dots = am @ bm.T
+        an = (am * am).sum(axis=1)
+        bn = (bm * bm).sum(axis=1)
+        ok = (dots > 0) & (dots * dots * 1_000_000.0 > t2 * an[:, None] * bn[None, :])
+        ai = a["vec_id"].to_numpy()
+        bi = b["vec_id"].to_numpy()
+        ii, jj = np.nonzero(ok)
+        # same-block groups see each unordered pair twice (and the
+        # diagonal) → dedupe with ai<bi; cross-block pairs appear exactly
+        # once and must ALL be kept (their ids are not ordered by block)
+        keep = ai[ii] < bi[jj] if lo == hi else np.ones(len(ii), dtype=bool)
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(ai[ii], bi[jj])[keep],
+                "b_id": np.maximum(ai[ii], bi[jj])[keep],
+                "dot": dots[ii, jj][keep].astype(np.int64),
+            }
+        )
+
+    return rep.groupBy("lo", "hi").applyInPandas(
+        gemm, schema="a_id bigint, b_id bigint, dot bigint"
+    )
+
+
+def neardup_clusters(documents: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Near-dup clustering = connected components over the LSH candidate
+    graph, by iterative min-label propagation (label = smallest reachable
+    doc_id). Driver loop with data-side joins — the iterative-algorithm
+    pattern; converges in O(graph diameter) rounds. DuckDB twin: recursive
+    CTE transitive closure."""
+    from .textops import lsh_candidate_pairs
+
+    edges = lsh_candidate_pairs(documents).persist()
+    sym = edges.selectExpr("doc_a as a", "doc_b as b").unionByName(
+        edges.selectExpr("doc_b as a", "doc_a as b")
+    ).persist()
+    labels = documents.select("doc_id", F.col("doc_id").alias("cluster")).persist()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster"), F.coalesce("nbr_min", F.col("cluster")))
+                .alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels
 
 
 def cosine_neardup(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
