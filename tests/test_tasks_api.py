@@ -1,0 +1,79 @@
+"""Per-task API surface (reference scripts/{layout_detection,
+formula_detection,formula_recognition,ocr,table_parsing}.py analogs)."""
+
+import pytest
+
+import oracle
+from sparkextract import schema, synth, tasks
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = synth.gen_transcripts(n_convs=8, seed=55, payload_prob=1.0)
+    return pdf, spark.createDataFrame(pdf, schema=schema.TRANSCRIPTS)
+
+
+def _oracle_dets(pdf):
+    out = []
+    for row in pdf.itertuples(index=False):
+        for page in oracle.parse_payload(row.text, row.tool):
+            for d in oracle.run_page(page):
+                out.append((row.conv_id, row.turn_idx, page["page_no"],
+                            d["category"], tuple(d["bbox"]), d["score"],
+                            d["content"]))
+    return out
+
+
+def test_layout_and_formula_detection(corpus):
+    pdf, sdf = corpus
+    want = _oracle_dets(pdf)
+    lay = tasks.layout_detection(sdf).collect()
+    mfd = tasks.formula_recognition(sdf).collect()
+    want_lay = sorted(x for x in want if x[3] in schema.LAYOUT_CLASSES)
+    got_lay = sorted(
+        (r.conv_id, r.turn_idx, r.page_no, r.category,
+         (r.x0, r.y0, r.x1, r.y1), r.score, r.content)
+        for r in lay
+    )
+    assert got_lay == want_lay
+    want_mfd = sorted(x for x in want if x[3] in schema.FORMULA_CLASSES)
+    got_mfd = sorted(
+        (r.conv_id, r.turn_idx, r.page_no, r.category,
+         (r.x0, r.y0, r.x1, r.y1), r.score, r.content)
+        for r in mfd
+    )
+    assert got_mfd == want_mfd
+
+
+def test_ocr_task(corpus):
+    pdf, sdf = corpus
+    want = sorted(x for x in _oracle_dets(pdf) if x[3] == "text")
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.page_no, r.category,
+         (r.x0, r.y0, r.x1, r.y1), r.score, r.content)
+        for r in tasks.ocr(sdf).collect()
+    )
+    assert got == want
+
+
+def test_table_parsing(corpus):
+    _, sdf = corpus
+    rows = tasks.table_parsing(sdf, output_format="html").collect()
+    assert all(r.table_source.startswith("<table>") for r in rows)
+    with pytest.raises(ValueError):
+        tasks.table_parsing(sdf, output_format="docx")
+
+
+def test_config_registry(tmp_path, corpus):
+    _, sdf = corpus
+    cfg = tmp_path / "job.yaml"
+    cfg.write_text(
+        "tasks:\n  layout_detection:\n    model: layout_detection_yolo\n"
+        "  pdf2markdown:\n    model: null\n"
+    )
+    inst = tasks.initialize_tasks(tasks.load_config(str(cfg)))
+    assert set(inst) == {"layout_detection", "pdf2markdown"}
+    assert inst["layout_detection"](sdf).count() > 0
+    assert inst["pdf2markdown"](sdf).count() > 0
+    with pytest.raises(KeyError):
+        tasks.initialize_tasks({"tasks": {"nonexistent_task": {}}})
