@@ -295,7 +295,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
 """,
         "lang_id_ngram": """
 SELECT doc_id,
@@ -425,7 +425,7 @@ p AS (
 SELECT a_id, b_id, dot FROM p
 WHERE dot > 0
   AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 1000000.0
-      > 810000.0 * CAST(an AS DOUBLE) * CAST(bn AS DOUBLE)
+      > 122500.0 * CAST(an AS DOUBLE) * CAST(bn AS DOUBLE)
 """,
         "cosine_neardup": """
 WITH q AS (
@@ -450,6 +450,6 @@ p AS (
 SELECT a_id, b_id, dot FROM p
 WHERE dot > 0
   AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 1000000.0
-      > 810000.0 * CAST(an AS DOUBLE) * CAST(bn AS DOUBLE)
+      > 122500.0 * CAST(an AS DOUBLE) * CAST(bn AS DOUBLE)
 """,
     }

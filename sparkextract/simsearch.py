@@ -96,7 +96,7 @@ def ivf_topk(
 
 
 def cosine_neardup_blocked(
-    embeddings: DataFrame, threshold: float = 0.9, blocks: int = 8
+    embeddings: DataFrame, threshold: float = 0.35, blocks: int = 8
 ) -> DataFrame:
     """Exact near-dup via block-nested-loop matmul: identical result set to
     ``cosine_neardup`` (same integer quantization and squared compare) but
@@ -193,7 +193,7 @@ def neardup_clusters(documents: DataFrame, max_iter: int = 10) -> DataFrame:
     return labels
 
 
-def cosine_neardup(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+def cosine_neardup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Embedding-cosine near-dup pairs: cos(a,b) > t via the integer-exact
     inequality dot² · 10⁶ > t²·10⁶ · |a|²·|b|² (no sqrt, no FP division).
     Brute force on pairs; at scale, feed LSH candidates instead."""

@@ -109,7 +109,7 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, max_doc_id: int = 100, threshold: float = 0.2
+    documents: DataFrame, max_doc_id: int = 100, threshold: float = 0.02
 ) -> DataFrame:
     """n-gram Jaccard near-dup: pairs sharing >= 1 shingle, similarity =
     |A∩B| / |A∪B| (exact integers; the ratio divides identical ints)."""
