@@ -46,6 +46,11 @@ def test_e2e_other_seed_with_options(spark):
     run_equality(spark, pdf, repartition=8, formula_length_buckets=4)
 
 
+def test_e2e_third_seed_wider(spark):
+    pdf = synth.gen_transcripts(n_convs=25, seed=2024, payload_prob=0.8)
+    run_equality(spark, pdf)
+
+
 def test_e2e_fused_small(spark):
     pdf = synth.gen_transcripts(n_convs=14, seed=7)
     run_equality(spark, pdf, engine=extract_fused)
