@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sparkextract import relops, simsearch, textops  # noqa: E402
+from sparkextract import relops, simsearch, tasks, textops  # noqa: E402
 from sparkextract.docsource import documents_as_transcripts  # noqa: E402
 from sparkextract.fused import extract_fused  # noqa: E402
 from sparkextract.minslice import min_slice, min_slice_sql  # noqa: E402
@@ -80,6 +80,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fused": lambda s, d: extract_fused(
             documents_as_transcripts(_t(s, d, "documents"))
         ).select("conv_id", "turn_idx", "turn_seq", "main_text"),
+        # per-task APIs (reference scripts/ analogs; OCR merge layer is a
+        # sequential fold -> rows-only, pinned to the oracle in
+        # tests/test_tasks_api.py)
+        "task_layout_detection": lambda s, d: tasks.layout_detection(
+            documents_as_transcripts(_t(s, d, "documents"))
+        ),
+        "task_ocr_spans": lambda s, d: tasks.ocr(
+            documents_as_transcripts(_t(s, d, "documents"))
+        ),
+        "task_formula_recognition": lambda s, d: tasks.formula_recognition(
+            documents_as_transcripts(_t(s, d, "documents"))
+        ),
     }
 
 

@@ -77,6 +77,7 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
 
 
-def test_rows_only_pipeline(spark):
-    df = entrymod.queries()["extract_pipeline"](spark, SF_DIR)
-    assert df.count() > 0
+def test_rows_only_queries(spark):
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    for name in sorted(set(qs) - set(osql)):
+        assert qs[name](spark, SF_DIR).count() > 0, name
