@@ -45,6 +45,7 @@ def _extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
         pno = dets["page_no"].to_numpy(np.int64)
         branch = dets["branch"].to_numpy(np.int64)
         dord = dets["det_order"].to_numpy(np.int64)
+        didx = dets["det_idx"].to_numpy(np.int64)
         cat = dets["category"].to_numpy(object)
         score = dets["score"].to_numpy(np.float64)
         boxes = dets[["x0", "y0", "x1", "y1"]].to_numpy(np.float64)
@@ -66,6 +67,7 @@ def _extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
                 page_list,
                 pseq[det_sel], branch[det_sel], dord[det_sel], cat[det_sel],
                 score[det_sel], boxes[det_sel], content[det_sel],
+                didx[det_sel],
             )
             out_conv.append(key_conv[s])
             out_turn.append(int(key_turn[s]))

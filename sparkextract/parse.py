@@ -51,6 +51,9 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
     pages = ldf[ldf["is_page"]]
     pp = pages["line"].str.split(" ", expand=True)
+    for c in range(4):  # short headers ("@page 3") must not KeyError below
+        if c not in pp.columns:
+            pp[c] = None
     page_rows = pd.DataFrame(
         {
             "conv_id": pages["conv_id"].values,

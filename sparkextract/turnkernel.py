@@ -54,6 +54,7 @@ def run_turn_arrays(
     score: np.ndarray,
     boxes: np.ndarray,  # (n,4)
     content: np.ndarray,  # object
+    det_idx: np.ndarray,  # payload order — raw-det tiebreak (paddle_ocr.py)
 ) -> tuple[str, list[tuple]]:
     """One turn's detection arrays → (main_text, spans list of tuples)."""
     mds: list[str] = []
@@ -71,6 +72,7 @@ def run_turn_arrays(
         pbox = boxes[sel]
         pcontent = content[sel].copy()
         pord = det_order[sel]
+        pidx = det_idx[sel]
 
         # MFR (F1) on the formula branch
         for k in np.flatnonzero(pb == 1):
@@ -78,7 +80,12 @@ def run_turn_arrays(
 
         # OCR merge: regions = OCR-able layout dets (pdf2markdown.py:209)
         model = pb < 2
+        # raws MUST be in det_idx (payload) order: ocr_page_arrays' contract —
+        # bubble_pass tiebreak + cons content-join lexsort follow input order
+        # (paddle_ocr.py sorted_boxes / oracle run_page raws). det_order for
+        # branch 2 is score-desc, so re-sort here (staged path: ocr.py:86).
         raws = np.flatnonzero(pb == 2)
+        raws = raws[np.argsort(pidx[raws], kind="stable")]
         reg_sel = np.array(
             [i for i in range(len(pb))
              if pb[i] == 0 and pcat[i] in _OCR_REGION],

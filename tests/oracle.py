@@ -254,8 +254,24 @@ def merge_para_with_text(block):
 
 # ---------- fake model stages (DESIGN.md §2) ----------
 
+def _num(s):
+    """Engine tokenization twin: pd.to_numeric(errors='coerce') → None."""
+    if s is None:
+        return None
+    try:
+        v = float(s)
+    except ValueError:
+        return None
+    return None if v != v else v  # NaN literal coerces like unparseable
+
+
 def parse_payload(text, tool):
-    """Payload lines → list of pages [{page_no,w,h,dets:[...]}]."""
+    """Payload lines → list of pages [{page_no,w,h,dets:[...]}].
+
+    Tokenization is pinned to the engine (parse.py): headers split on a
+    SINGLE space (runs of whitespace are not collapsed), non-numeric header
+    fields coerce to 0, and dets with non-numeric score/coords are dropped.
+    """
     pages = []
     cur = None
     for src in (text, tool):
@@ -263,18 +279,25 @@ def parse_payload(text, tool):
             continue
         for line in src.split("\n"):
             if line.startswith("@page "):
-                parts = line.split()
-                cur = {"page_no": int(parts[1]), "w": float(parts[2]),
-                       "h": float(parts[3]), "dets": []}
+                parts = line.split(" ")
+                pn = _num(parts[1]) if len(parts) > 1 else None
+                w = _num(parts[2]) if len(parts) > 2 else None
+                h = _num(parts[3]) if len(parts) > 3 else None
+                cur = {"page_no": int(pn) if pn is not None else 0,
+                       "w": w if w is not None else 0.0,
+                       "h": h if h is not None else 0.0, "dets": []}
                 pages.append(cur)
             elif line.startswith("@det ") and cur is not None:
                 f = line[5:].split("|", 6)
                 if len(f) < 6:
                     continue
+                score = _num(f[1])
+                bbox = [_num(x) for x in f[2:6]]
+                if score is None or any(b is None for b in bbox):
+                    continue  # engine: parse.py dropna(subset=score/coords)
                 cur["dets"].append({
                     "idx": len(cur["dets"]), "category": f[0],
-                    "score": float(f[1]),
-                    "bbox": [float(f[2]), float(f[3]), float(f[4]), float(f[5])],
+                    "score": score, "bbox": bbox,
                     "content": f[6] if len(f) > 6 else "",
                 })
     return pages

@@ -45,6 +45,31 @@ EDGE_TURNS = [
     # the reference itself divides by min box height (paddle_ocr.py:81-91)
     ("zero-width", "@page 0 800 600\n@det plain text|0.9|10|10|700|100|\n"
      "@det inline|0.8|50|30|50|58|x ^ 2\n@det text|0.8|15|20|600|60|ok", None),
+    # same-line raws whose SCORE order inverts payload order and whose boxes
+    # coincide (equal merged-box center-x): the cons content-join tiebreak is
+    # det_idx/payload order (paddle_ocr.py sorted order), NOT det_order
+    # (score-desc) — regression for the fused-path raws re-sort (ADVICE r01)
+    ("raw-order-tie", "@page 0 800 600\n@det plain text|0.9|10|10|700|100|\n"
+     "@det text|0.60|15|20|600|60|alpha\n@det text|0.90|15|20|600|60|beta",
+     None),
+    # same inversion but distinct touching boxes that merge into one line box:
+    # exercises bubble_pass input-order stability too
+    ("raw-order-merge", "@page 0 800 600\n@det plain text|0.9|10|10|700|100|\n"
+     "@det text|0.55|300|20|600|60|late\n@det text|0.95|15|20|320|60|early",
+     None),
+    # malformed headers: doubled space, missing fields, non-numeric fields —
+    # tokenization pinned to the engine's single-space split (ADVICE r01)
+    ("bad-headers", "@page  3 800 600\n@det plain text|0.9|10|10|700|100|\n"
+     "@det text|0.8|15|20|600|60|padded header\n"
+     "@page 1\n@det plain text|0.9|10|10|700|100|\n"
+     "@det text|0.8|15|20|600|60|short header\n"
+     "@page x 800 600\n@det plain text|0.9|10|10|700|100|\n"
+     "@det text|0.8|15|20|600|60|alpha pageno", None),
+    # non-numeric det fields are dropped row-wise, not errors
+    ("bad-det-fields", "@page 0 800 600\n@det plain text|0.9|10|10|700|100|\n"
+     "@det text|oops|15|20|600|60|bad score\n"
+     "@det text|0.8|a|20|600|60|bad coord\n@det text|nan|15|20|600|60|nan\n"
+     "@det text|0.8|15|20|600|60|kept", None),
 ]
 
 
