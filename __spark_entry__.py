@@ -66,6 +66,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: simsearch.ann_topk(_t(s, d, "embeddings")),
         "ann_ivf_topk": lambda s, d: simsearch.ivf_topk(_t(s, d, "embeddings")),
         "cosine_neardup": lambda s, d: simsearch.cosine_neardup(_t(s, d, "embeddings")),
+        # production path: LSH candidates over text -> exact cosine verify.
+        # threshold 0.05 (not the 0.35 default): synthetic text-similarity is
+        # uncorrelated with embedding-similarity, so a loose verify keeps the
+        # driver row non-vacuous (10 verified pairs at sf0.01)
+        "cosine_neardup_lsh": lambda s, d: simsearch.cosine_neardup_lsh(
+            _t(s, d, "documents"), _t(s, d, "embeddings"), threshold=0.05
+        ),
         "cosine_neardup_blocked": lambda s, d: simsearch.cosine_neardup_blocked(
             _t(s, d, "embeddings")
         ),
@@ -292,13 +299,17 @@ FROM b a JOIN b b2 USING (band, bucket)
 WHERE a.doc_id < b2.doc_id
 """,
         "simhash": _simhash_sql(),
+        # whole corpus, stop-shingle df guard mirrors textops.ngram_jaccard_pairs
         "ngram_jaccard": "WITH "
-        + _SHINGLES.strip().replace("FROM documents", "FROM documents WHERE doc_id < 100")
+        + _SHINGLES.strip()
         + """,
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+dfq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfq USING (shingle)
+        WHERE df <= 64),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b USING (shingle)
+  FROM shf a JOIN shf b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -337,6 +348,9 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe_tokens
 FROM documents
 """,
+        # weights are 31^i mod 982451653; wv and each product are reduced
+        # mod the same prime so nothing exceeds int64 (matches
+        # textops.fingerprint — values unchanged vs the non-overflowing form)
         "doc_fingerprint": """
 WITH w AS (
   SELECT doc_id,
@@ -348,12 +362,13 @@ f AS (
   SELECT doc_id,
          CAST(ascii(substr(word || '__', 1, 1)) * 65536
               + ascii(substr(word || '__', 2, 1)) * 256
-              + length(word) AS BIGINT) AS wv,
-         CAST([1,31,961,29791,923521,28629151,887503681,27512614111][(pos % 8) + 1]
+              + length(word) AS BIGINT) % 982451653 AS wv,
+         CAST([1,31,961,29791,923521,28629151,887503681,3967827][(pos % 8) + 1]
               AS BIGINT) AS weight
   FROM w WHERE word <> ''
 )
-SELECT doc_id, CAST(SUM(wv * weight) % 982451653 AS BIGINT) AS fingerprint
+SELECT doc_id, CAST(SUM((wv * weight) % 982451653) % 982451653 AS BIGINT)
+         AS fingerprint
 FROM f GROUP BY doc_id
 """,
         "ann_cosine_topk": """
@@ -414,6 +429,44 @@ SELECT q_id, n_id, dot, rank FROM (
 ) WHERE rank <= 5
 """,
         "neardup_clusters": _NEARDUP_CLUSTERS,
+        "cosine_neardup_lsh": _MINHASH
+        + """,
+b AS (
+  SELECT doc_id, seed // 2 AS band,
+         md5(string_agg(minhash, '|' ORDER BY minhash)) AS bucket
+  FROM sig GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM b a JOIN b b2 USING (band, bucket)
+  WHERE a.doc_id < b2.doc_id
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(range(1, len(v) + 1),
+                                      i -> v[i] * v[i])) AS BIGINT) AS n2
+  FROM q
+),
+p AS (
+  SELECT c.doc_a AS a_id, c.doc_b AS b_id,
+         CAST(list_sum(list_transform(range(1, len(na.v) + 1),
+                                      i -> na.v[i] * nb.v[i])) AS BIGINT) AS dot,
+         na.n2 AS an, nb.n2 AS bn
+  FROM cand c
+  JOIN n na ON na.vec_id = c.doc_a
+  JOIN n nb ON nb.vec_id = c.doc_b
+)
+SELECT a_id, b_id, dot FROM p
+WHERE dot > 0
+  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 1000000.0
+      > 2500.0 * CAST(an AS DOUBLE) * CAST(bn AS DOUBLE)
+""",
         "cosine_neardup_blocked": """
 WITH q AS (
   SELECT vec_id,

@@ -152,12 +152,15 @@ def cosine_neardup_blocked(
     )
 
 
-def neardup_clusters(documents: DataFrame, max_iter: int = 10) -> DataFrame:
+def neardup_clusters(documents: DataFrame, max_iter: int = 1000) -> DataFrame:
     """Near-dup clustering = connected components over the LSH candidate
     graph, by iterative min-label propagation (label = smallest reachable
     doc_id). Driver loop with data-side joins — the iterative-algorithm
-    pattern; converges in O(graph diameter) rounds. DuckDB twin: recursive
-    CTE transitive closure."""
+    pattern. Iterates to CONVERGENCE (changed == 0) so labels equal the
+    full transitive closure that the DuckDB recursive-CTE twin computes;
+    ``max_iter`` is only a runaway guard (one-hop propagation converges in
+    ≤ graph-diameter rounds, itself ≤ |V|) and raises if ever hit.
+    localCheckpoint every 8 rounds truncates the growing lineage."""
     from .textops import lsh_candidate_pairs
 
     edges = lsh_candidate_pairs(documents).persist()
@@ -165,7 +168,7 @@ def neardup_clusters(documents: DataFrame, max_iter: int = 10) -> DataFrame:
         edges.selectExpr("doc_b as a", "doc_a as b")
     ).persist()
     labels = documents.select("doc_id", F.col("doc_id").alias("cluster")).persist()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["doc_id"])
             .groupBy("a")
@@ -178,8 +181,10 @@ def neardup_clusters(documents: DataFrame, max_iter: int = 10) -> DataFrame:
                 F.least(F.col("cluster"), F.coalesce("nbr_min", F.col("cluster")))
                 .alias("cluster"),
             )
-            .persist()
         )
+        if (it + 1) % 8 == 0:
+            new = new.localCheckpoint(eager=False)
+        new = new.persist()
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -189,14 +194,63 @@ def neardup_clusters(documents: DataFrame, max_iter: int = 10) -> DataFrame:
         labels.unpersist()
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"neardup_clusters did not converge in {max_iter} rounds — "
+        "graph diameter exceeds the runaway guard; raise max_iter"
+    )
+
+
+def cosine_neardup_lsh(
+    documents: DataFrame, embeddings: DataFrame, threshold: float = 0.35
+) -> DataFrame:
+    """PRODUCTION near-dup path: MinHash-LSH candidate generation over the
+    text column (banded bucket equi-join — no all-pairs anywhere), then
+    exact integer-quantized cosine verification of only the candidates.
+    doc_id and vec_id share the id space (TESTDATA.md). Plan shape: two
+    shuffles for LSH, two equi-joins to fetch the candidate vectors —
+    every join keyed, nothing nested-loop; survives 100 TB where the
+    all-pairs baselines below are O(n²)."""
+    from .textops import lsh_candidate_pairs
+
+    cand = lsh_candidate_pairs(documents)
+    base = quantized(embeddings)
+    norms = base.select(
+        "vec_id", F.col("q").alias("v"), _dot(F.col("q"), F.col("q")).alias("n2")
+    )
+    t2 = int(round(threshold * threshold * 1_000_000))
+    pairs = (
+        cand.join(norms, cand["doc_a"] == norms["vec_id"])
+        .select(
+            F.col("doc_a").alias("a_id"), F.col("doc_b"),
+            F.col("v").alias("av"), F.col("n2").alias("an"),
+        )
+        .join(norms, F.col("doc_b") == norms["vec_id"])
+        .select(
+            "a_id", F.col("doc_b").alias("b_id"), "av", "an",
+            F.col("v").alias("bv"), F.col("n2").alias("bn"),
+        )
+    )
+    d = F.col("dot").cast("double")
+    return (
+        pairs.withColumn("dot", _dot(F.col("av"), F.col("bv")))
+        .where(
+            (F.col("dot") > 0)
+            & (
+                d * d * F.lit(1_000_000.0)
+                > F.lit(float(t2)) * F.col("an").cast("double") * F.col("bn").cast("double")
+            )
+        )
+        .select("a_id", "b_id", "dot")
+    )
 
 
 def cosine_neardup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Embedding-cosine near-dup pairs: cos(a,b) > t via the integer-exact
     inequality dot² · 10⁶ > t²·10⁶ · |a|²·|b|² (no sqrt, no FP division).
-    Brute force on pairs; at scale, feed LSH candidates instead."""
+    CORRECTNESS BASELINE ONLY — O(n²) nested-loop pairs; the production
+    path at scale is ``cosine_neardup_lsh`` (LSH candidates → exact
+    verify) or ``cosine_neardup_blocked`` (bounded-replication GEMM)."""
     base = quantized(embeddings)
     norms = base.select(
         "vec_id", F.col("q").alias("v"), _dot(F.col("q"), F.col("q")).alias("n2")

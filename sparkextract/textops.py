@@ -109,13 +109,24 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, max_doc_id: int = 100, threshold: float = 0.02
+    documents: DataFrame, threshold: float = 0.02, max_shingle_df: int = 64
 ) -> DataFrame:
-    """n-gram Jaccard near-dup: pairs sharing >= 1 shingle, similarity =
-    |A∩B| / |A∪B| (exact integers; the ratio divides identical ints)."""
-    sh = shingles(documents.where(F.col("doc_id") < max_doc_id))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    """n-gram Jaccard near-dup over the WHOLE corpus: pairs sharing >= 1
+    shingle, similarity = |A∩B| / |A∪B| (exact integers; the ratio divides
+    identical ints).
+
+    Stop-shingle guard: shingles with document frequency > max_shingle_df
+    are dropped BEFORE the self-join (a boilerplate shingle shared by 10⁶
+    docs would make the join quadratic on that key). Jaccard is then the
+    exact jaccard of the filtered shingle sets — sizes count filtered
+    shingles too, so the measure stays internally consistent."""
+    sh = shingles(documents)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    shf = sh.join(
+        dfreq.where(F.col("df") <= max_shingle_df).select("shingle"), "shingle"
+    )
+    sizes = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = shf.alias("a"), shf.alias("b")
     inter = (
         a.join(b, "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -171,22 +182,36 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+FP_MOD = 982451653  # prime modulus — every intermediate stays < MOD² < 2^63
+
+
 def fingerprint(documents: DataFrame, window: int = 8) -> DataFrame:
     """Rolling polynomial fingerprint: word value = first-two-char codes +
-    length (engine-portable ints), weighted by 31^(pos mod window)."""
-    pw = [31**i for i in range(window)]
+    length (engine-portable ints), weighted by 31^(pos mod window).
+
+    All arithmetic is mod FP_MOD *per term* (weights are precomputed
+    mod FP_MOD, wv is reduced before the product): 31^7 ≈ 2.7e10 times a
+    CJK wv ≈ 1.7e9 would overflow int64 in a single product — a runtime
+    ArithmeticException under Spark 4 ANSI mode. sum(term mod M) mod M ==
+    sum(term) mod M, so values are unchanged where the old form didn't
+    overflow."""
+    pw = [pow(31, i, FP_MOD) for i in range(window)]
     w = documents.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
     ).where(F.col("word") != "")
     padded = F.concat("word", F.lit("__"))  # 1-char words: engines disagree on ascii('')
-    wv = (
-        F.ascii(F.substring(padded, 1, 1)) * 65536
-        + F.ascii(F.substring(padded, 2, 1)) * 256
-        + F.length("word")
-    ).cast("bigint")
+    wv = F.pmod(
+        (
+            F.ascii(F.substring(padded, 1, 1)) * 65536
+            + F.ascii(F.substring(padded, 2, 1)) * 256
+            + F.length("word")
+        ).cast("bigint"),
+        F.lit(FP_MOD),
+    )
     weight = F.element_at(
         F.array(*[F.lit(p) for p in pw]), (F.col("pos") % window + 1).cast("int")
     ).cast("bigint")
+    term = F.pmod(wv * weight, F.lit(FP_MOD))
     return w.groupBy("doc_id").agg(
-        F.pmod(F.sum(wv * weight), F.lit(982451653)).cast("bigint").alias("fingerprint")
+        F.pmod(F.sum(term), F.lit(FP_MOD)).cast("bigint").alias("fingerprint")
     )
