@@ -492,6 +492,8 @@ WHERE dot > 0
   AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 1000000.0
       > 122500.0 * CAST(an AS DOUBLE) * CAST(bn AS DOUBLE)
 """,
+        # full deterministic detection stage incl. recursive-CTE greedy NMS
+        "task_layout_detection": tasks.layout_detection_sql(),
         "cosine_neardup": """
 WITH q AS (
   SELECT vec_id,

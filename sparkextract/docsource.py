@@ -17,17 +17,23 @@ from pyspark.sql import functions as F
 
 # one synthetic page per document; mixes every det branch:
 # title+text lines, plain-text block with inline/isolated formulas,
-# an abandon region (boilerplate strip), and a sub-threshold junk det.
+# an abandon region (boilerplate strip), a sub-threshold junk det, an
+# NMS-suppressed duplicate (IoU 0.95 with the plain-text block), and an
+# overlapping-but-below-IoU caption pair (IoU 0.10 — both survive), so
+# M3 greedy NMS is actually exercised by the driver corpus.
 PAYLOAD_TEMPLATE: list[list] = [
     ["@page 0 1654 2339"],
     ["@det title|0.95|100|80|1400|140|"],
     ["@det text|0.9|110|90|800|128|Report ", ("id",)],
     ["@det plain text|0.92|100|200|1400|460|"],
+    ["@det plain text|0.85|105|205|1395|455|"],
     ["@det text|0.88|120|215|900|243|", ("sub", 1, 120)],
     ["@det inline|0.8|950|246|1100|270|x ^ { 2 } + y _ { 1 }"],
     ["@det text|0.86|120|250|900|278|", ("sub", 181, 120)],
     ["@det isolated|0.9|400|300|1200|370|\\sum _ { i = 0 } x _ { i }"],
     ["@det text|0.84|120|380|1380|408|", ("sub", 301, 150)],
+    ["@det figure_caption|0.9|100|500|700|560|"],
+    ["@det figure_caption|0.88|600|500|1100|560|"],
     ["@det abandon|0.7|100|2200|800|2260|"],
     ["@det text|0.9|110|2210|700|2250|footer ", ("id",)],
     ["@det figure|0.2|0|0|10|10|junk"],

@@ -72,6 +72,132 @@ def table_parsing(
     return dets.withColumn("table_source", rendered)
 
 
+def layout_detection_sql() -> str:
+    """DuckDB twin of ``layout_detection(documents_as_transcripts(docs))``:
+    the FULL deterministic detection stage in SQL — payload tokenization,
+    page/det sequencing, P2 confidence filter, per-(page, branch, category)
+    greedy NMS (M3) as a recursive CTE carrying the kept-box list, the
+    reference det ordering (branch, score desc, det_idx), and F6/F7
+    truncation/rounding. Matches parse.py:_parse_batch row-for-row.
+
+    Caveat: score rounding uses DuckDB ROUND (half-away) vs numpy
+    (half-even) — identical on the template's 2-decimal scores; the
+    generic engines are pinned to each other by tests/test_e2e_golden.py.
+    """
+    from .docsource import payload_sql
+
+    layout_in = ", ".join(f"'{c}'" for c in schema.LAYOUT_CLASSES)
+    # IoU(candidate c, kept box k), engine semantics (kernels.nms_keep):
+    # union > 0 ? inter / max(union, 1e-12) : 0
+    inter = (
+        "greatest(least(c.x1, k.x1) - greatest(c.x0, k.x0), 0)"
+        " * greatest(least(c.y1, k.y1) - greatest(c.y0, k.y0), 0)"
+    )
+    union = f"(c.x1 - c.x0) * (c.y1 - c.y0) + (k.x1 - k.x0) * (k.y1 - k.y0) - {inter}"
+    iou = f"CASE WHEN {union} > 0 THEN ({inter}) / greatest({union}, 1e-12) ELSE 0.0 END"
+    survives = f"len(list_filter(n.boxes, k -> {iou} > {schema.IOU_THRES})) = 0"
+    box = "struct_pack(x0 := c.x0, y0 := c.y0, x1 := c.x1, y1 := c.y1)"
+    return f"""
+WITH RECURSIVE payload AS (
+  SELECT doc_id,
+         printf('conv-%06d', CAST(doc_id % 97 AS INT)) AS conv_id,
+         CAST(floor(doc_id / 97) AS INT) AS turn_idx,
+         {payload_sql()} AS p
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, conv_id, turn_idx,
+         generate_subscripts(string_split(p, chr(10)), 1) - 1 AS lidx,
+         unnest(string_split(p, chr(10))) AS line
+  FROM payload
+),
+marked AS (
+  SELECT *, (line LIKE '@page %') AS is_page
+  FROM lines WHERE line LIKE '@page %' OR line LIKE '@det %'
+),
+seq AS (
+  SELECT *, CAST(SUM(CASE WHEN is_page THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY lidx) AS INT) - 1 AS page_seq
+  FROM marked
+),
+pages AS (
+  SELECT doc_id, page_seq,
+         CAST(trunc(COALESCE(TRY_CAST(string_split(line, ' ')[2] AS DOUBLE), 0)) AS INT)
+           AS page_no,
+         COALESCE(TRY_CAST(string_split(line, ' ')[3] AS DOUBLE), 0) AS page_w,
+         COALESCE(TRY_CAST(string_split(line, ' ')[4] AS DOUBLE), 0) AS page_h
+  FROM seq WHERE is_page
+),
+det1 AS (
+  SELECT doc_id, conv_id, turn_idx, page_seq, lidx,
+         f[1] AS category,
+         TRY_CAST(f[2] AS DOUBLE) AS score,
+         TRY_CAST(f[3] AS DOUBLE) AS x0, TRY_CAST(f[4] AS DOUBLE) AS y0,
+         TRY_CAST(f[5] AS DOUBLE) AS x1, TRY_CAST(f[6] AS DOUBLE) AS y1,
+         COALESCE(f[7], '') AS content
+  FROM (SELECT *, string_split(substr(line, 6), '|') AS f
+        FROM seq WHERE NOT is_page AND page_seq >= 0)
+),
+valid AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, page_seq ORDER BY lidx) - 1
+                 AS INT) AS det_idx
+  FROM det1
+  WHERE score IS NOT NULL AND NOT isnan(score)
+    AND x0 IS NOT NULL AND NOT isnan(x0) AND y0 IS NOT NULL AND NOT isnan(y0)
+    AND x1 IS NOT NULL AND NOT isnan(x1) AND y1 IS NOT NULL AND NOT isnan(y1)
+),
+conf AS (
+  SELECT * FROM (
+    SELECT *, CASE WHEN category IN ({layout_in}) THEN 0
+                   WHEN category IN ('inline', 'isolated') THEN 1
+                   WHEN category = 'text' THEN 2 ELSE -9 END AS branch
+    FROM valid
+  ) WHERE branch >= 0 AND (branch = 2 OR score > {schema.CONF_THRES})
+),
+cand AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, page_seq, branch, category
+                                    ORDER BY score DESC, det_idx) AS INT) AS r
+  FROM conf WHERE branch < 2
+),
+nms(doc_id, page_seq, branch, category, r, det_idx, is_kept, boxes) AS (
+  SELECT doc_id, page_seq, branch, category, r, det_idx, true,
+         [struct_pack(x0 := x0, y0 := y0, x1 := x1, y1 := y1)]
+  FROM cand WHERE r = 1
+  UNION ALL
+  SELECT c.doc_id, c.page_seq, c.branch, c.category, c.r, c.det_idx,
+         ({survives}),
+         CASE WHEN ({survives}) THEN list_append(n.boxes, {box}) ELSE n.boxes END
+  FROM nms n JOIN cand c
+    ON c.doc_id = n.doc_id AND c.page_seq = n.page_seq
+   AND c.branch = n.branch AND c.category = n.category AND c.r = n.r + 1
+),
+surv AS (
+  SELECT c.doc_id, c.conv_id, c.turn_idx, c.page_seq, c.det_idx,
+         c.branch, c.category, c.score, c.x0, c.y0, c.x1, c.y1, c.content
+  FROM cand c JOIN nms USING (doc_id, page_seq, branch, category, r)
+  WHERE nms.is_kept
+  UNION ALL
+  SELECT doc_id, conv_id, turn_idx, page_seq, det_idx,
+         branch, category, score, x0, y0, x1, y1, content
+  FROM conf WHERE branch = 2
+),
+ordered AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, page_seq
+                                    ORDER BY branch, score DESC, det_idx) - 1
+                 AS INT) AS det_order
+  FROM surv
+)
+SELECT o.conv_id, o.turn_idx, CAST(o.page_seq AS INT) AS page_seq,
+       pg.page_no, pg.page_w, pg.page_h,
+       o.det_idx, o.det_order, CAST(o.branch AS INT) AS branch, o.category,
+       round(o.score, 2) AS score,
+       trunc(o.x0) AS x0, trunc(o.y0) AS y0, trunc(o.x1) AS x1, trunc(o.y1) AS y1,
+       o.content
+FROM ordered o JOIN pages pg USING (doc_id, page_seq)
+WHERE o.branch = 0
+"""
+
+
 TASK_REGISTRY = {
     "layout_detection": layout_detection,
     "formula_detection": formula_detection,

@@ -17,13 +17,15 @@ def _plan(df) -> str:
 
 
 @pytest.mark.skipif(not os.path.exists(SF), reason="testdata absent")
-def test_jaccard_filter_pushed_to_scan(spark):
+def test_jaccard_scan_prunes_columns(spark):
+    # the uncapped whole-corpus jaccard must still read ONLY doc_id+text
+    # from the parquet scan (shingling never touches lang/source/n_chars)
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(textops.ngram_jaccard_pairs(docs))
-    # doc_id < 100 must appear in PushedFilters of the parquet scan
     scan = plan[plan.index("Scan parquet"):]
-    pushed = scan[scan.index("PushedFilters"): scan.index("\n", scan.index("PushedFilters"))]
-    assert "LessThan(doc_id,100)" in pushed, pushed
+    rs = scan[scan.index("ReadSchema"): scan.index("\n", scan.index("ReadSchema"))]
+    assert "text" in rs, rs
+    assert "lang" not in rs and "source" not in rs and "n_chars" not in rs, rs
 
 
 @pytest.mark.skipif(not os.path.exists(SF), reason="testdata absent")
