@@ -16,6 +16,7 @@ import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -80,17 +81,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         # --- full pipeline (not SQL-expressible → rows-only check; real
-        # verification is tests/test_e2e_golden.py vs tests/oracle.py) ---
+        # verification is tests/test_e2e_golden.py vs tests/oracle.py).
+        # spans_hash pins the spans array content across rounds so the
+        # rows-only record is diffable, not just a row count ---
         "extract_pipeline": lambda s, d: extract(
             documents_as_transcripts(_t(s, d, "documents"))
-        ).select("conv_id", "turn_idx", "turn_seq", "main_text"),
+        ).select(
+            "conv_id", "turn_idx", "turn_seq", "main_text",
+            F.md5(F.to_json("spans")).alias("spans_hash"),
+        ),
         "extract_fused": lambda s, d: extract_fused(
             documents_as_transcripts(_t(s, d, "documents"))
-        ).select("conv_id", "turn_idx", "turn_seq", "main_text"),
+        ).select(
+            "conv_id", "turn_idx", "turn_seq", "main_text",
+            F.md5(F.to_json("spans")).alias("spans_hash"),
+        ),
         # per-task APIs (reference scripts/ analogs; OCR merge layer is a
         # sequential fold -> rows-only, pinned to the oracle in
         # tests/test_tasks_api.py)
         "task_layout_detection": lambda s, d: tasks.layout_detection(
+            documents_as_transcripts(_t(s, d, "documents"))
+        ),
+        # M2 second layout model (LayoutLMv3-style raw output, class ids)
+        "task_layout_detection_v2": lambda s, d: tasks.layout_detection_lmv3(
             documents_as_transcripts(_t(s, d, "documents"))
         ),
         "task_ocr_spans": lambda s, d: tasks.ocr(
@@ -494,6 +507,7 @@ WHERE dot > 0
 """,
         # full deterministic detection stage incl. recursive-CTE greedy NMS
         "task_layout_detection": tasks.layout_detection_sql(),
+        "task_layout_detection_v2": tasks.layout_detection_lmv3_sql(),
         "cosine_neardup": """
 WITH q AS (
   SELECT vec_id,

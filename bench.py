@@ -85,6 +85,31 @@ def run(spark) -> dict:
     timings["o5_interval_union"] = force(relops.interval_union(t("orders")))
     timings["j1_first_wins"] = force(relops.first_wins_fill(t("lineitem")))
 
+    # --- skew story (north_rule): one conversation holds ~80% of turns.
+    # unsalted = repartition on conv_id only (the hot conv lands on ONE
+    # task); salted = fused's (conv_id, pmod(hash(turn_idx),16)) spread.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    skew_docs = replicate_documents(docs, max(1, REPLICATE // 2))
+    skewed_tr = documents_as_transcripts(skew_docs).withColumn(
+        "conv_id",
+        F.when(F.pmod(F.hash("conv_id", "turn_idx"), F.lit(5)) != 0, F.lit("conv-hot"))
+        .otherwise(F.col("conv_id")),
+    ).withColumn(
+        "turn_idx",
+        F.row_number().over(
+            Window.partitionBy("conv_id").orderBy("turn_idx", "text")
+        ).cast("int"),
+    )
+    skewed_tr = skewed_tr.persist()
+    skewed_tr.count()  # materialize once so both runs read identical input
+    timings["extract_skew_unsalted"] = force(
+        extract_fused(skewed_tr.repartition(CPUS * 2, F.col("conv_id")))
+    )
+    timings["extract_skew_salted"] = force(extract_fused(skewed_tr, repartition=CPUS * 2))
+    skewed_tr.unpersist()
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "extraction+ops suite wall time (headline: turns/sec)",

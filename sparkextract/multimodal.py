@@ -1,17 +1,20 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` with typed
 metadata (SURVEY graft requirement).
 
-The container ships no image/audio libs, so the *decode* step is stubbed:
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic byte-hash "decoder" stands in. Everything Spark-side
-— schema, Arrow batch shape, mapInPandas signatures, partition behavior —
-is real and tested; swapping the fake for PIL/ffmpeg is a one-function
-change inside the UDF.
+PNG decode is REAL — a pure-stdlib decoder (zlib inflate + PNG filter
+reconstruction, 8-bit gray/RGB/GA/RGBA, the formats reference
+paddle_ocr.py:17-19 ``img_decode``/cv2.imdecode handles for PNG inputs).
+JPEG and audio/video decode need native libs absent in this container, so
+those payloads fall back to a deterministic byte-hash stand-in
+(``fake=True``) or raise. Everything Spark-side — schema, Arrow batch
+shape, mapInPandas signatures, partition behavior — is real and tested.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -60,28 +63,131 @@ FRAMES = StructType(
 FEATURE_DIM = 16
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder: chunk walk, zlib inflate, filter
+    reconstruction (None/Sub/Up/Average/Paeth). Supports bit depth 8,
+    color types 0/2/4/6, no interlace. Returns (h, w, channels) uint8."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,), tag = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG (depth={depth}, color={ctype})")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + body + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad PNG data length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (line[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = out[r]
+    return out.reshape(h, w, ch)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0, one IDAT): (h,w), (h,w,1/2/3/4)
+    uint8 → PNG bytes. Round-trips through ``decode_png``."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[a.shape[2]]
+    h, w = a.shape[:2]
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB: real decode needs PIL/libjpeg (absent in this container).
-    fake=True → deterministic pseudo-decode from the byte hash."""
+    """Decode an image payload. PNG → REAL stdlib decode ((h,w,c) uint8).
+    Other formats need native codecs absent here: fake=True → the
+    deterministic byte-hash stand-in, else NotImplementedError."""
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(bytes(payload))
     if not fake:
         raise NotImplementedError(
-            "image decode requires an imaging library not present in this "
-            "environment; pass fake=True for the deterministic stand-in"
+            "non-PNG image decode requires an imaging library not present "
+            "in this environment; pass fake=True for the deterministic stand-in"
         )
     h = hashlib.sha256(payload).digest()
     return np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4],
                          dtype=np.uint8).astype(np.float32).reshape(FEATURE_DIM, 4)
 
 
+def _feature_vec(arr: np.ndarray) -> list:
+    """(h,w,c) real decode → FEATURE_DIM-bin intensity histogram (density);
+    (FEATURE_DIM,4) hash stand-in → per-row mean (legacy fake shape)."""
+    if arr.ndim == 3:
+        hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+        return (hist / max(arr.size, 1)).round(3).astype(np.float32).tolist()
+    return arr.mean(axis=1).round(3).tolist()
+
+
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """media → per-item feature vector. mapInPandas: Arrow batches of
     binary payloads in, fixed-dim float arrays out — the exact shape a
-    real embedding model stage has."""
+    real embedding model stage has. PNG payloads are REALLY decoded."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in it:
             feats = [
-                decode_image(p, fake=fake).mean(axis=1).round(3).tolist()
+                _feature_vec(decode_image(bytes(p), fake=fake))
                 if p is not None
                 else None
                 for p in b["payload"]
@@ -134,13 +240,23 @@ def media_metadata(media: DataFrame) -> DataFrame:
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table (seeded bytes)."""
+    """Deterministic synthetic media table (seeded bytes). Image payloads
+    are VALID PNGs (hash-seeded pixels through encode_png) so the real
+    decoder runs end to end; audio/video stay opaque bytes."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         base = hashlib.sha256(f"media-{i}".encode()).digest()
-        payload = (base * (4 + i % 5))[: 128 + (i * 37) % 2048]
-        if kind == "image" and i % 2 == 0:
-            payload = b"\x89PNG\r\n\x1a\n" + payload
-        rows.append((i, kind, payload, 64 + i, 48 + i, 1000 * (1 + i % 7)))
+        if kind == "image":
+            side = 8 + (i % 5) * 4
+            need = side * side * 3
+            px = np.frombuffer(
+                (base * (need // len(base) + 1))[:need], dtype=np.uint8
+            ).reshape(side, side, 3)
+            payload = encode_png(px)
+            w = h = side
+        else:
+            payload = (base * (4 + i % 5))[: 128 + (i * 37) % 2048]
+            w, h = 64 + i, 48 + i
+        rows.append((i, kind, payload, w, h, 1000 * (1 + i % 7)))
     return spark.createDataFrame(rows, MEDIA)

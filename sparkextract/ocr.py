@@ -25,6 +25,19 @@ from . import kernels, schema
 _PAD = float(schema.OCR_PAD)
 _SHIFT4 = np.array([1.0, 1.0, 1.0, 1.0])
 
+ROT_MARK = "@rot180 "
+
+
+def angle_cls(contents: list[str]) -> list[str]:
+    """M7 angle classification (paddle_ocr.py:428-433: use_angle_cls flips
+    180°-rotated crops before recognition). Deterministic stand-in: the
+    payload marks rotated content with ``@rot180 `` + the reversed string;
+    the classifier detects the marker and un-rotates (strip + reverse)."""
+    return [
+        c[len(ROT_MARK):][::-1] if c.startswith(ROT_MARK) else c
+        for c in contents
+    ]
+
 
 def ocr_page_arrays(
     region_boxes: np.ndarray,  # (n,4) OCR-able regions in det_order
@@ -32,6 +45,7 @@ def ocr_page_arrays(
     raw_boxes: np.ndarray,  # (r,4) raw text dets in det_idx order
     raw_scores: np.ndarray,  # (r,)
     raw_contents: list[str],
+    use_angle_cls: bool = True,
 ) -> tuple[list, list, list]:
     """→ (boxes [x0,y0,x1,y1], scores, contents) in emission order."""
     out_boxes: list = []
@@ -39,6 +53,8 @@ def ocr_page_arrays(
     out_contents: list = []
     if len(raw_boxes) == 0 or len(region_boxes) == 0:
         return out_boxes, out_scores, out_contents
+    if use_angle_cls:
+        raw_contents = angle_cls(raw_contents)
     rcx = (raw_boxes[:, 0] + raw_boxes[:, 2]) / 2.0
     rcy = (raw_boxes[:, 1] + raw_boxes[:, 3]) / 2.0
     for reg in region_boxes:

@@ -74,6 +74,9 @@ def _text_line_dets(rng, lines_out, x0, y0, x1, zh, h=28):
         if rng.random() < 0.05:
             score = round(rng.uniform(0.05, 0.45), 2)  # below drop_score
         content = _words(rng, rng.randint(1, 4), zh=zh, special=0.12)
+        if rng.random() < 0.05:
+            # M7 angle-cls case: content arrives 180°-rotated, marked
+            content = "@rot180 " + content[::-1]
         lines_out.append(
             _det("text", score, round(bx0, 1), y0 + jy, round(bx1, 1), y1 + jy, content)
         )

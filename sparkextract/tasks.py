@@ -11,19 +11,98 @@ of named stage functions, driven by the same YAML config shape
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import schema
 from .mfr import recognize_formulas
 from .ocr import ocr_text_spans
 from .parse import parse_detections
 
+# id→name table shared by BOTH reference layout models
+# (layout_detection/models/yolo.py:18-29 == models/layoutlmv3.py:21-32);
+# schema.LAYOUT_CLASSES is stored in exactly this id order.
+LAYOUT_ID_TO_NAME = dict(enumerate(schema.LAYOUT_CLASSES))
+
 
 def layout_detection(transcripts: DataFrame) -> DataFrame:
-    """scripts/layout_detection.py analog: per-page layout detections
-    (10 classes, conf-filtered, NMS'd, confidence-ordered)."""
+    """scripts/layout_detection.py analog, YOLO-style model
+    (models/yolo.py:36-96): per-page layout detections — 10 classes,
+    conf-filtered (0.25), NMS'd (IoU 0.45), confidence-ordered."""
     return parse_detections(transcripts).filter(F.col("branch") == 0)
+
+
+def layout_detection_lmv3(
+    transcripts: DataFrame, ignore_catids: tuple[int, ...] = ()
+) -> DataFrame:
+    """Second layout model (M2), LayoutLMv3-style (models/layoutlmv3.py:36-81):
+    the predictor's raw detections with NO task-side conf gate and NO NMS
+    (the reference task passes neither conf_thres nor iou_thres and calls
+    ``self.model(im, ignore_catids=[])``); class ids surface as
+    ``category_id`` per the shared id table, and ``ignore_catids`` drops
+    listed ids. Pure Catalyst (explode → parse → windows) — SQL-twinnable
+    end to end; demonstrates MODEL_REGISTRY pluggability with genuinely
+    different output than the YOLO-style default."""
+    src = F.concat(
+        F.coalesce(F.col("text"), F.lit("")), F.lit("\n"),
+        F.coalesce(F.col("tool"), F.lit("")),
+    )
+    lines = (
+        transcripts.filter(
+            F.col("text").contains("@page ") | F.col("tool").contains("@page ")
+        )
+        .select("conv_id", "turn_idx", F.posexplode(F.split(src, "\n")).alias("lidx", "line"))
+        .where(F.col("line").startswith("@page ") | F.col("line").startswith("@det "))
+    )
+    w_turn = (
+        Window.partitionBy("conv_id", "turn_idx")
+        .orderBy("lidx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = lines.withColumn(
+        "page_seq",
+        (F.sum(F.when(F.col("line").startswith("@page "), 1).otherwise(0)).over(w_turn) - 1)
+        .cast("int"),
+    ).where(F.col("page_seq") >= 0)
+    dets = seq.where(F.col("line").startswith("@det ")).select(
+        "conv_id", "turn_idx", "page_seq", "lidx",
+        F.split(F.expr("substr(line, 6)"), "\\|").alias("f"),
+    )
+    f = F.col("f")
+    parsed = dets.select(
+        "conv_id", "turn_idx", "page_seq", "lidx",
+        F.get(f, 0).alias("category"),
+        F.expr("try_cast(f[1] as double)").alias("score"),
+        F.expr("try_cast(f[2] as double)").alias("x0"),
+        F.expr("try_cast(f[3] as double)").alias("y0"),
+        F.expr("try_cast(f[4] as double)").alias("x1"),
+        F.expr("try_cast(f[5] as double)").alias("y1"),
+        F.coalesce(F.get(f, 6), F.lit("")).alias("content"),
+    ).where(
+        F.col("score").isNotNull() & ~F.isnan("score")
+        & F.col("x0").isNotNull() & F.col("y0").isNotNull()
+        & F.col("x1").isNotNull() & F.col("y1").isNotNull()
+    )
+    w_page = Window.partitionBy("conv_id", "turn_idx", "page_seq").orderBy("lidx")
+    idxed = parsed.withColumn(
+        "det_idx", (F.row_number().over(w_page) - 1).cast("int")
+    )
+    map_args: list = []
+    for cid, name in LAYOUT_ID_TO_NAME.items():
+        map_args += [F.lit(name), F.lit(cid)]
+    id_map = F.create_map(*map_args)
+    out = idxed.withColumn("category_id", id_map[F.col("category")].cast("int")).where(
+        F.col("category_id").isNotNull()
+    )
+    if ignore_catids:
+        out = out.where(~F.col("category_id").isin([int(i) for i in ignore_catids]))
+    return out.select(
+        "conv_id", "turn_idx", "page_seq", "det_idx", "category_id", "category",
+        "score", "x0", "y0", "x1", "y1", "content",
+    )
 
 
 def formula_detection(transcripts: DataFrame) -> DataFrame:
@@ -198,6 +277,72 @@ WHERE o.branch = 0
 """
 
 
+def layout_detection_lmv3_sql(ignore_catids: tuple[int, ...] = ()) -> str:
+    """DuckDB twin of ``layout_detection_lmv3`` (same tokenization CTEs as
+    ``layout_detection_sql``, but raw model output: no conf gate, no NMS,
+    no F6/F7 conversion, class ids surfaced)."""
+    from .docsource import payload_sql
+
+    case_id = " ".join(
+        f"WHEN '{name}' THEN {cid}" for cid, name in LAYOUT_ID_TO_NAME.items()
+    )
+    ignore = ""
+    if ignore_catids:
+        ignore = f"AND category_id NOT IN ({', '.join(str(int(i)) for i in ignore_catids)})"
+    return f"""
+WITH payload AS (
+  SELECT doc_id,
+         printf('conv-%06d', CAST(doc_id % 97 AS INT)) AS conv_id,
+         CAST(floor(doc_id / 97) AS INT) AS turn_idx,
+         {payload_sql()} AS p
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, conv_id, turn_idx,
+         generate_subscripts(string_split(p, chr(10)), 1) - 1 AS lidx,
+         unnest(string_split(p, chr(10))) AS line
+  FROM payload
+),
+marked AS (
+  SELECT *, (line LIKE '@page %') AS is_page
+  FROM lines WHERE line LIKE '@page %' OR line LIKE '@det %'
+),
+seq AS (
+  SELECT *, CAST(SUM(CASE WHEN is_page THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY lidx) AS INT) - 1 AS page_seq
+  FROM marked
+),
+det1 AS (
+  SELECT doc_id, conv_id, turn_idx, page_seq, lidx,
+         f[1] AS category,
+         TRY_CAST(f[2] AS DOUBLE) AS score,
+         TRY_CAST(f[3] AS DOUBLE) AS x0, TRY_CAST(f[4] AS DOUBLE) AS y0,
+         TRY_CAST(f[5] AS DOUBLE) AS x1, TRY_CAST(f[6] AS DOUBLE) AS y1,
+         COALESCE(f[7], '') AS content
+  FROM (SELECT *, string_split(substr(line, 6), '|') AS f
+        FROM seq WHERE NOT is_page AND page_seq >= 0)
+),
+valid AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, page_seq ORDER BY lidx) - 1
+                 AS INT) AS det_idx
+  FROM det1
+  WHERE score IS NOT NULL AND NOT isnan(score)
+    AND x0 IS NOT NULL AND y0 IS NOT NULL AND x1 IS NOT NULL AND y1 IS NOT NULL
+)
+SELECT conv_id, turn_idx, CAST(page_seq AS INT) AS page_seq, det_idx,
+       category_id, category, score, x0, y0, x1, y1, content
+FROM (SELECT *, CAST(CASE category {case_id} END AS INT) AS category_id FROM valid)
+WHERE category_id IS NOT NULL {ignore}
+"""
+
+
+# the reference MODEL_REGISTRY analog (registry/registry.py:1-23): layout
+# detection ships two interchangeable models selected by YAML config
+MODEL_REGISTRY = {
+    "layout_detection_yolo": layout_detection,
+    "layout_detection_layoutlmv3": layout_detection_lmv3,
+}
+
 TASK_REGISTRY = {
     "layout_detection": layout_detection,
     "formula_detection": formula_detection,
@@ -217,13 +362,21 @@ def load_config(path: str) -> dict:
 
 def initialize_tasks(config: dict) -> dict:
     """utils/config_loader.py:31-47 analog: resolve task names against the
-    registry; unknown names fail loudly like the reference's KeyError."""
+    registry; unknown names fail loudly like the reference's KeyError.
+    A task entry may pick a ``model`` from MODEL_REGISTRY (the reference's
+    ``tasks: {layout_detection: {model: layout_detection_layoutlmv3}}``
+    shape) and pass ``model_config`` kwargs (e.g. ignore_catids)."""
     out = {}
-    for name in config.get("tasks", {}):
+    for name, tcfg in (config.get("tasks", {}) or {}).items():
+        tcfg = tcfg or {}
         if name == "pdf2markdown":
             from .fused import extract_fused
 
             out[name] = extract_fused
+        elif tcfg.get("model"):
+            fn = MODEL_REGISTRY[tcfg["model"]]
+            mc = tcfg.get("model_config") or {}
+            out[name] = functools.partial(fn, **mc) if mc else fn
         else:
             out[name] = TASK_REGISTRY[name]
     return out

@@ -50,6 +50,12 @@ def detect_lang(s: str) -> str:
     return "zh" if any("一" <= ch <= "鿿" for ch in s) else "en"
 
 
+def angle_cls(c: str) -> str:
+    # M7 deterministic stand-in (paddle_ocr.py:428-433): '@rot180 ' marks
+    # 180°-rotated content; un-rotation strips the marker and reverses
+    return c[len("@rot180 "):][::-1] if c.startswith("@rot180 ") else c
+
+
 def md_escape(s: str) -> str:
     # merge_blocks_and_spans.py:207-215 (fixed char order)
     for ch in ("*", "`", "~", "$"):
@@ -332,7 +338,8 @@ def run_page(page):
                                 and d["score"] > CONF]))
     mfd = _branch_order(nms([d for d in dets if d["category"] in FORMULA_CLASSES
                              and d["score"] > CONF]))
-    raws = [d for d in dets if d["category"] == "text"]
+    raws = [dict(d, content=angle_cls(d["content"]))
+            for d in dets if d["category"] == "text"]
 
     page_dets = []  # reference layout_dets order
     for d in layout:

@@ -70,6 +70,11 @@ EDGE_TURNS = [
      "@det text|oops|15|20|600|60|bad score\n"
      "@det text|0.8|a|20|600|60|bad coord\n@det text|nan|15|20|600|60|nan\n"
      "@det text|0.8|15|20|600|60|kept", None),
+    # M7 angle classification: '@rot180 ' marks 180°-rotated raw content;
+    # the classifier un-rotates before the content join
+    ("rot180", "@page 0 800 600\n@det plain text|0.9|10|10|700|100|\n"
+     "@det text|0.8|15|20|300|60|@rot180 nwod edispu\n"
+     "@det text|0.8|320|20|600|60|normal", None),
 ]
 
 

@@ -148,3 +148,22 @@ def test_nms_parity():
         else:
             got = []
         assert got == want, trial
+
+
+def test_angle_cls_hook_changes_output():
+    """M7: the rotation hook must be live — disabling it changes the
+    content join for marked payloads, enabling it matches the oracle."""
+    from sparkextract.ocr import ocr_page_arrays
+
+    regions = np.array([[0.0, 0.0, 700.0, 100.0]])
+    masks = np.empty((0, 4))
+    raws = np.array([[15.0, 20.0, 300.0, 60.0], [320.0, 20.0, 600.0, 60.0]])
+    scores = np.array([0.8, 0.8])
+    contents = ["@rot180 nwod edispu", "normal"]
+    _, _, on = ocr_page_arrays(regions, masks, raws, scores, contents,
+                               use_angle_cls=True)
+    _, _, off = ocr_page_arrays(regions, masks, raws, scores, contents,
+                                use_angle_cls=False)
+    assert on != off
+    assert any("upside down" in c for c in on)
+    assert any("@rot180" in c for c in off)

@@ -5,7 +5,7 @@ import hashlib
 import pytest
 
 from sparkextract import multimodal, synth
-from sparkextract.lineage import committed_buckets, run_with_lineage
+from sparkextract.lineage import committed_buckets, run_with_lineage, snapshot_id
 from sparkextract.pipeline import extract
 from sparkextract import schema
 
@@ -45,6 +45,63 @@ def test_lineage_run_and_resume(spark, tmp_path):
     assert got == want
 
 
+def test_lineage_observe_counts_match_truth(spark, tmp_path):
+    # rows_in/rows_out come from observe() inside the ONE write action —
+    # they must equal independently recomputed per-bucket counts
+    pdf = synth.gen_transcripts(n_convs=8, seed=33)
+    sdf = spark.createDataFrame(pdf, schema=schema.TRANSCRIPTS)
+    out = str(tmp_path / "out")
+    s = run_with_lineage(spark, sdf, out, snapshot="snapX", buckets=4)
+    assert s["rows_in"] == sdf.count()
+    lin = {r.partition_id: r for r in spark.read.parquet(f"{out}/_lineage").collect()}
+    from pyspark.sql import functions as F
+
+    truth_in = {
+        r.b: r.n
+        for r in sdf.groupBy(F.pmod(F.hash("conv_id"), F.lit(4)).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    data = spark.read.parquet(f"{out}/data")
+    truth_out = {
+        r.bucket: r.n
+        for r in data.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for b in range(4):
+        assert lin[b].rows_in == truth_in.get(b, 0), b
+        assert lin[b].rows_out == truth_out.get(b, 0), b
+
+
+def test_lineage_snapshot_content_addressed(spark, tmp_path):
+    # auto snapshot ids hash the input file listing: same files resume as
+    # a no-op; a rewritten input is a NEW snapshot and reprocesses
+    pdf = synth.gen_transcripts(n_convs=6, seed=34)
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(pdf, schema=schema.TRANSCRIPTS).coalesce(1).write.parquet(src_dir)
+    out = str(tmp_path / "out")
+
+    sdf = spark.read.parquet(src_dir)
+    sid1 = snapshot_id(sdf)
+    s1 = run_with_lineage(spark, sdf, out, buckets=4)
+    assert s1["processed"] == 4 and s1["snapshot"] == sid1
+    s2 = run_with_lineage(spark, spark.read.parquet(src_dir), out, buckets=4)
+    assert s2["processed"] == 0 and s2["skipped"] == 4  # unchanged input
+
+    # rewrite the source (different content -> different size/mtime)
+    pdf2 = synth.gen_transcripts(n_convs=7, seed=35)
+    spark.createDataFrame(pdf2, schema=schema.TRANSCRIPTS).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    sdf2 = spark.read.parquet(src_dir)
+    sid2 = snapshot_id(sdf2)
+    assert sid2 != sid1
+    s3 = run_with_lineage(spark, sdf2, out, buckets=4)
+    assert s3["processed"] == 4 and s3["snapshot"] == sid2  # full reprocess
+
+    # file-less frames must demand an explicit snapshot
+    with pytest.raises(ValueError):
+        snapshot_id(spark.createDataFrame(pdf, schema=schema.TRANSCRIPTS))
+
+
 def test_media_features_deterministic(spark):
     media = multimodal.synth_media(spark, n=30)
     rows = multimodal.extract_features(media).collect()
@@ -60,8 +117,82 @@ def test_media_features_deterministic(spark):
 
 
 def test_media_decode_stub_raises():
+    # non-PNG formats still need native codecs -> honest stub
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"abc", fake=False)
+
+
+def test_png_roundtrip_all_color_types():
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for ch in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(13, 9, ch), dtype=np.uint8)
+        got = multimodal.decode_png(multimodal.encode_png(arr))
+        assert got.shape == (13, 9, ch)
+        assert (got == arr).all(), f"channels={ch}"
+    # 2-d gray input
+    g = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    assert (multimodal.decode_png(multimodal.encode_png(g))[:, :, 0] == g).all()
+
+
+def test_png_decoder_handles_all_filters():
+    """Hand-filter scanlines with Sub/Up/Average/Paeth and verify the
+    decoder reconstructs the original pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    h, w, ch = 6, 5, 3
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = b""
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        cur = img[r].reshape(-1).astype(np.int32)
+        ftype = [0, 1, 2, 3, 4, 1][r]
+        line = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = int(cur[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[ftype]
+            line[i] = (cur[i] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(line.astype(np.uint8))
+        prev = cur
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    data = (multimodal.PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (multimodal.decode_png(data) == img).all()
+
+
+def test_png_real_decode_drives_features(spark):
+    import numpy as np
+
+    media = multimodal.synth_media(spark, n=12)
+    feats = {r.media_id: r.features for r in multimodal.extract_features(media).collect()}
+    # media 0 is a REAL PNG: features must equal the histogram of its pixels
+    p0 = {r.media_id: bytes(r.payload) for r in media.collect()}[0]
+    px = multimodal.decode_png(p0)
+    hist, _ = np.histogram(px, bins=multimodal.FEATURE_DIM, range=(0, 256))
+    want = (hist / px.size).round(3)
+    assert np.allclose(feats[0], want, atol=1e-6)
+    # corrupt PNG fails loudly, not silently
+    with pytest.raises(ValueError):
+        multimodal.decode_png(multimodal.PNG_MAGIC + b"garbage")
 
 
 def test_frame_sampling_and_metadata(spark):
@@ -73,4 +204,5 @@ def test_frame_sampling_and_metadata(spark):
     assert kinds == vids
     meta = multimodal.media_metadata(media).collect()
     sniffed = {r.media_id: r.sniffed for r in meta}
-    assert sniffed[0] == "png" and sniffed[3] == "unknown"
+    assert sniffed[0] == "png"  # images are now real PNGs
+    assert sniffed[1] == "unknown"  # audio stays opaque bytes

@@ -77,3 +77,55 @@ def test_config_registry(tmp_path, corpus):
     assert inst["pdf2markdown"](sdf).count() > 0
     with pytest.raises(KeyError):
         tasks.initialize_tasks({"tasks": {"nonexistent_task": {}}})
+    with pytest.raises(KeyError):
+        tasks.initialize_tasks(
+            {"tasks": {"layout_detection": {"model": "no_such_model"}}}
+        )
+
+
+def test_layout_model_swap_via_config(tmp_path, corpus):
+    """M2 pluggability: swapping the layout model through the YAML config
+    yields genuinely different detections — LayoutLMv3-style keeps what
+    YOLO-style drops (sub-conf dets, NMS-suppressed overlaps)."""
+    pdf, sdf = corpus
+    y_cfg = {"tasks": {"layout_detection": {"model": "layout_detection_yolo"}}}
+    l_cfg = {"tasks": {"layout_detection": {"model": "layout_detection_layoutlmv3"}}}
+    yolo = tasks.initialize_tasks(y_cfg)["layout_detection"](sdf)
+    lmv3 = tasks.initialize_tasks(l_cfg)["layout_detection"](sdf)
+    assert "category_id" in lmv3.columns and "category_id" not in yolo.columns
+
+    # lmv3 = raw model output: every payload layout det, incl. score <= 0.25
+    want_raw = []
+    for row in pdf.itertuples(index=False):
+        for page in oracle.parse_payload(row.text, row.tool):
+            for d in page["dets"]:
+                if d["category"] in oracle.LAYOUT_CLASSES:
+                    want_raw.append(
+                        (row.conv_id, int(row.turn_idx), d["category"],
+                         d["score"], tuple(d["bbox"]), d["content"])
+                    )
+    got_raw = sorted(
+        (r.conv_id, r.turn_idx, r.category, r.score,
+         (r.x0, r.y0, r.x1, r.y1), r.content)
+        for r in lmv3.collect()
+    )
+    assert got_raw == sorted(want_raw)
+    assert lmv3.count() >= yolo.count()
+
+    # category ids follow the shared id table (yolo.py:18-29)
+    ids = {r.category: r.category_id for r in lmv3.select("category", "category_id").distinct().collect()}
+    for cat, cid in ids.items():
+        assert tasks.LAYOUT_ID_TO_NAME[cid] == cat
+
+    # ignore_catids via model_config drops those classes
+    cfg_ign = {
+        "tasks": {
+            "layout_detection": {
+                "model": "layout_detection_layoutlmv3",
+                "model_config": {"ignore_catids": [2, 3]},  # abandon, figure
+            }
+        }
+    }
+    ign = tasks.initialize_tasks(cfg_ign)["layout_detection"](sdf)
+    cats = {r.category for r in ign.select("category").distinct().collect()}
+    assert "abandon" not in cats and "figure" not in cats
