@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sparkextract import relops, simsearch, tasks, textops  # noqa: E402
+from sparkextract import relops, simsearch, tasks, textops, viz  # noqa: E402
 from sparkextract.docsource import documents_as_transcripts  # noqa: E402
 from sparkextract.fused import extract_fused  # noqa: E402
 from sparkextract.minslice import min_slice, min_slice_sql  # noqa: E402
@@ -105,6 +105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # M2 second layout model (LayoutLMv3-style raw output, class ids)
         "task_layout_detection_v2": lambda s, d: tasks.layout_detection_lmv3(
             documents_as_transcripts(_t(s, d, "documents"))
+        ),
+        # S6 visualization sink: per-page SVG of the layout detections
+        "task_visualization": lambda s, d: viz.visualize_svg(
+            tasks.layout_detection(documents_as_transcripts(_t(s, d, "documents")))
         ),
         "task_ocr_spans": lambda s, d: tasks.ocr(
             documents_as_transcripts(_t(s, d, "documents"))
@@ -508,6 +512,7 @@ WHERE dot > 0
         # full deterministic detection stage incl. recursive-CTE greedy NMS
         "task_layout_detection": tasks.layout_detection_sql(),
         "task_layout_detection_v2": tasks.layout_detection_lmv3_sql(),
+        "task_visualization": viz.visualize_svg_sql(),
         "cosine_neardup": """
 WITH q AS (
   SELECT vec_id,

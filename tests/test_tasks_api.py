@@ -129,3 +129,20 @@ def test_layout_model_swap_via_config(tmp_path, corpus):
     ign = tasks.initialize_tasks(cfg_ign)["layout_detection"](sdf)
     cats = {r.category for r in ign.select("category").distinct().collect()}
     assert "abandon" not in cats and "figure" not in cats
+
+
+def test_visualization_svg(corpus):
+    """S6 sink: one SVG per page, one rect+label per layout detection,
+    in det_order, VOC class colors."""
+    from sparkextract import viz
+
+    _, sdf = corpus
+    lay = tasks.layout_detection(sdf)
+    rows = viz.visualize_svg(lay).collect()
+    assert rows
+    assert all(r.svg.startswith('<svg xmlns="http://www.w3.org/2000/svg"')
+               and r.svg.endswith("</svg>") for r in rows)
+    assert sum(r.svg.count("<rect ") for r in rows) == lay.count()
+    # VOC colormap by class id: title=0 black, plain text=1 maroon
+    assert viz.CLASS_COLORS["title"] == "#000000"
+    assert viz.CLASS_COLORS["plain text"] == "#800000"
