@@ -27,7 +27,13 @@ sections = [
     ("MinHash signatures", textops.minhash_signature(docs),
      "One shuffle; 8 parallel MIN aggregates with map-side combine."),
     ("ANN top-k (broadcast queries)", simsearch.ann_topk(emb),
-     "BroadcastHashJoin on the tiny query side - the scan side never shuffles."),
+     "Brute-force baseline: BroadcastNestedLoopJoin with the tiny query "
+     "side broadcast - the corpus side never shuffles; cost is linear in "
+     "corpus x queries. The scale path is ivf_topk (cell-keyed equi-join)."),
+    ("Production near-dup (LSH candidates -> exact cosine verify)",
+     simsearch.cosine_neardup_lsh(docs, emb),
+     "Every join is keyed (band/bucket equi-join, then vec_id fetches) - "
+     "no BroadcastNestedLoopJoin anywhere, unlike the all-pairs baselines."),
 ]
 out = ["# PLANS — physical plans of the headline jobs",
        "",

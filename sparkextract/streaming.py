@@ -3,15 +3,35 @@
 The reference is strictly batch over files (tasks/ocr/task.py:58-86;
 SURVEY.md §2.8) and BASELINE.json targets batch-at-rest tables, so
 streaming is *additive* capability: the same extraction engine applied to
-a stream of transcript files. ``foreachBatch`` reuses the fused batch
-path verbatim — one engine, two arrival modes — and the lineage table
-doubles as the exactly-once progress record alongside Spark's checkpoint.
+a stream of transcript files. Three arrival-mode patterns:
+
+- ``extract_stream``: ``foreachBatch`` reusing the fused batch path
+  verbatim — one engine, two arrival modes; the lineage table doubles as
+  the exactly-once progress record alongside Spark's checkpoint.
+- ``conversation_stats_stream``: custom stateful operator via
+  ``applyInPandasWithState`` — per-conversation running stats carried in
+  group state across micro-batches (the "custom stateful operator"
+  pattern for ops no built-in aggregation expresses).
+- ``windowed_doc_counts``: event-time tumbling window with a watermark —
+  the late-data pattern for time-bucketed rollups.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from . import schema
 from .fused import extract_fused
@@ -49,3 +69,72 @@ def extract_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+CONV_STATS = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("n_doc_turns", LongType()),
+        StructField("max_turn_idx", IntegerType()),
+    ]
+)
+_CONV_STATE = StructType(
+    [
+        StructField("n_turns", LongType()),
+        StructField("n_doc_turns", LongType()),
+        StructField("max_turn_idx", IntegerType()),
+    ]
+)
+
+
+def conversation_stats_stream(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    per-conversation running turn count, document-payload turn count, and
+    max turn_idx, carried in group state across micro-batches. Each batch
+    emits the group's UPDATED totals (output mode "update"); the final
+    emission per conv equals the batch groupBy truth (tested)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, nd, mx = state.get if state.exists else (0, 0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            has_doc = (
+                pdf["text"].fillna("").str.contains("@page ", regex=False)
+                | pdf["tool"].fillna("").str.contains("@page ", regex=False)
+            )
+            nd += int(has_doc.sum())
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+        state.update((n, nd, mx))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n],
+                "n_doc_turns": [nd],
+                "max_turn_idx": [mx],
+            }
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update, CONV_STATS, _CONV_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def windowed_doc_counts(
+    stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Event-time tumbling-window rollup with a watermark: document-payload
+    turns per (window, conv_id). The watermark bounds state for late data;
+    with update/append sinks, windows older than it are finalized."""
+    doc = stream.where(
+        F.col("text").contains("@page ") | F.col("tool").contains("@page ")
+    )
+    return (
+        doc.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("conv_id"))
+        .agg(F.count(F.lit(1)).alias("n_doc_turns"))
+        .select("win", "conv_id", "n_doc_turns")
+    )

@@ -59,3 +59,88 @@ def test_fused_plan_column_pruning(spark, tmp_path):
     readschema = scan[scan.index("ReadSchema"): scan.index("\n", scan.index("ReadSchema"))]
     # role/ts never reach the scan (nested-column pruning of the payload)
     assert "role" not in readschema and "ts" not in readschema, readschema
+
+
+def test_stateful_conversation_stats(spark, tmp_path):
+    """applyInPandasWithState: group state accumulates across micro-batches
+    (maxFilesPerTrigger=1 over 3 files); the last emission per conversation
+    equals the batch groupBy truth."""
+    from pyspark.sql import functions as F
+
+    from sparkextract.streaming import conversation_stats_stream
+
+    pdf = synth.gen_transcripts(n_convs=6, seed=88)
+    src = str(tmp_path / "src_state")
+    sdf = spark.createDataFrame(pdf, schema=schema.TRANSCRIPTS)
+    sdf.repartition(3).write.parquet(src)
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        conversation_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName("conv_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.sql("SELECT * FROM conv_stats").collect()
+    assert len(emitted) > 6  # multiple batches -> multiple emissions per conv
+    final = {}
+    for r in emitted:  # memory sink preserves emission order; keep the last
+        final[r.conv_id] = (r.n_turns, r.n_doc_turns, r.max_turn_idx)
+    truth = {
+        r.conv_id: (r.n, r.nd, r.mx)
+        for r in sdf.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.coalesce(
+                    (F.col("text").contains("@page ")
+                     | F.col("tool").contains("@page ")).cast("long"),
+                    F.lit(0),
+                )
+            ).alias("nd"),
+            F.max("turn_idx").alias("mx"),
+        ).collect()
+    }
+    assert final == truth
+
+
+def test_windowed_doc_counts_watermark(spark, tmp_path):
+    """Watermarked tumbling window: streaming complete-mode result equals
+    the batch windowed aggregation; the plan carries the watermark node."""
+    from pyspark.sql import functions as F
+
+    from sparkextract.streaming import windowed_doc_counts
+
+    pdf = synth.gen_transcripts(n_convs=5, seed=91)
+    src = str(tmp_path / "src_win")
+    sdf = spark.createDataFrame(pdf, schema=schema.TRANSCRIPTS)
+    sdf.repartition(2).write.parquet(src)
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    agg = windowed_doc_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.win.start, r.win.end, r.conv_id): r.n_doc_turns
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    doc = sdf.where(F.col("text").contains("@page ") | F.col("tool").contains("@page "))
+    want = {
+        (r.win.start, r.win.end, r.conv_id): r.n
+        for r in doc.groupBy(F.window("ts", "10 minutes").alias("win"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and got
+    assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
