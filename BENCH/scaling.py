@@ -42,6 +42,8 @@ N = int(os.environ.get("SCALE_N", "4"))
 FUSED_REPLICATE = int(os.environ.get("FUSED_REPLICATE", "64"))
 STAGED_REPLICATE = int(os.environ.get("STAGED_REPLICATE", "8"))
 RUNS = int(os.environ.get("SCALE_RUNS", "3"))
+FUSED_ONLY = os.environ.get("SCALE_FUSED_ONLY", "") == "1"  # quick reproductions
+WRITE_MD = os.environ.get("SCALE_WRITE_MD", "1") == "1"
 
 
 def _calib_work(seed: int):
@@ -94,9 +96,22 @@ def run_at(cores: int) -> dict:
         fused = statistics.median(_force(extract_fused(fused_t)) for _ in range(RUNS))
         fused_t.unpersist()
 
+        if FUSED_ONLY:
+            return {
+                "cores": cores,
+                "fused_turns": fused_n,
+                "fused_sec": round(fused, 2),
+                "fused_tput": round(fused_n / fused, 1),
+                "staged_turns": 0,
+                "staged_sec": 0.0,
+                "staged_tput": 1.0,
+            }
+
         staged_t, staged_n = corpus(STAGED_REPLICATE)
         _force(pipeline.extract(staged_t.limit(2000)))
-        staged = _force(pipeline.extract(staged_t))
+        staged = statistics.median(
+            _force(pipeline.extract(staged_t)) for _ in range(RUNS)
+        )
         return {
             "cores": cores,
             "fused_turns": fused_n,
@@ -134,8 +149,12 @@ def main() -> None:
         "efficiency_staged_normalized": round(eff_staged / ceiling, 3),
     }
     bench_dir = os.path.join(ROOT, "BENCH")
-    with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
+    name = "scaling_fusedonly.json" if FUSED_ONLY else "scaling.json"
+    with open(os.path.join(bench_dir, name), "w") as f:
         json.dump(out, f, indent=2)
+    if FUSED_ONLY or not WRITE_MD:
+        print(json.dumps(out))
+        return
     md = f"""# BENCH/BASELINE — measured numbers
 
 Scaling criterion (north_rule, sandbox substitution per driver

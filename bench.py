@@ -77,9 +77,14 @@ def run(spark) -> dict:
     timings["simhash"] = force(textops.simhash(big_docs))
     timings["token_count"] = force(textops.token_count(big_docs))
     timings["doc_fingerprint"] = force(textops.fingerprint(big_docs))
+    timings["ngram_jaccard"] = force(textops.ngram_jaccard_pairs(docs))
     timings["ann_cosine_topk"] = force(simsearch.ann_topk(t("embeddings")))
+    timings["ann_ivf_topk"] = force(simsearch.ivf_topk(t("embeddings")))
     timings["cosine_neardup_blocked"] = force(
         simsearch.cosine_neardup_blocked(t("embeddings"))
+    )
+    timings["cosine_neardup_lsh"] = force(
+        simsearch.cosine_neardup_lsh(docs, t("embeddings"), threshold=0.05)
     )
     timings["neardup_clusters"] = force(textops_clusters(spark, t("documents")))
     timings["o5_interval_union"] = force(relops.interval_union(t("orders")))
