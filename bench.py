@@ -80,6 +80,7 @@ def run(spark) -> dict:
     timings["ngram_jaccard"] = force(textops.ngram_jaccard_pairs(docs))
     timings["ann_cosine_topk"] = force(simsearch.ann_topk(t("embeddings")))
     timings["ann_ivf_topk"] = force(simsearch.ivf_topk(t("embeddings")))
+    timings["ann_ivf_train"] = force(simsearch.ivf_train(t("embeddings")))
     timings["cosine_neardup_blocked"] = force(
         simsearch.cosine_neardup_blocked(t("embeddings"))
     )

@@ -95,6 +95,98 @@ def ivf_topk(
     )
 
 
+def ivf_train(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """IVF centroid training: Lloyd k-means over the quantized vectors
+    with EXACT integer cross-engine math. Centroids are carried as
+    (sum-vector, member-count) pairs in LONG format (cell, dim, s), so
+    the assignment argmax_c dot(q, mean_c) ranks by dot(q, sum_c)/count_c
+    — an exact-integer dot divided once in double (IEEE-identical in any
+    engine), tiebroken by cell id. Deterministic init = the first ``k``
+    vectors; empty cells drop out. Returns one row per (cell, dim):
+    (cell, dim, centroid_sum, n_members) — mean_c[dim] = centroid_sum /
+    n_members. The iterative-algorithm pattern (driver loop, data-side
+    joins), like ``neardup_clusters``; ``ivf_topk``'s fixed first-k
+    centroids are the untrained special case."""
+    base = quantized(embeddings)
+    qd = base.select(
+        "vec_id", F.posexplode("q").alias("dim", "val")
+    ).persist()
+    cents = qd.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), "dim", F.col("val").alias("s")
+    )
+    counts = base.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.lit(1).cast("bigint").alias("c")
+    )
+    for _ in range(iters):
+        scored = (
+            qd.join(F.broadcast(cents), "dim")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum(F.col("val") * F.col("s")).alias("cdot"))
+            .join(F.broadcast(counts), "cell")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            (F.col("cdot").cast("double") / F.col("c")).desc(), F.col("cell").asc()
+        )
+        best = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("vec_id", "cell")
+        )
+        cents = best.join(qd, "vec_id").groupBy("cell", "dim").agg(
+            F.sum("val").alias("s")
+        )
+        counts = best.groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
+    return cents.join(counts, "cell").select(
+        "cell", "dim", F.col("s").alias("centroid_sum"), F.col("c").alias("n_members")
+    )
+
+
+def ivf_train_sql(k: int = 8, iters: int = 2) -> str:
+    """DuckDB twin of ``ivf_train``: the same Lloyd iterations unrolled."""
+    parts = [
+        f"""q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qd AS (
+  SELECT vec_id, CAST(generate_subscripts(qv, 1) - 1 AS INT) AS dim,
+         unnest(qv) AS val
+  FROM q
+),
+c0 AS (SELECT vec_id AS cell, dim, val AS s FROM qd WHERE vec_id < {k}),
+n0 AS (SELECT vec_id AS cell, CAST(1 AS BIGINT) AS c FROM q WHERE vec_id < {k})"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT qd.vec_id, cc.cell, SUM(qd.val * cc.s) AS cdot
+  FROM qd JOIN c{i - 1} cc USING (dim) GROUP BY 1, 2
+),
+b{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT s{i}.vec_id, s{i}.cell,
+           ROW_NUMBER() OVER (PARTITION BY s{i}.vec_id
+                              ORDER BY CAST(s{i}.cdot AS DOUBLE) / nn.c DESC,
+                                       s{i}.cell ASC) AS rn
+    FROM s{i} JOIN n{i - 1} nn USING (cell)
+  ) WHERE rn = 1
+),
+c{i} AS (
+  SELECT b{i}.cell, qd.dim, SUM(qd.val) AS s
+  FROM b{i} JOIN qd USING (vec_id) GROUP BY 1, 2
+),
+n{i} AS (SELECT cell, COUNT(*) AS c FROM b{i} GROUP BY 1)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT cc.cell, cc.dim, cc.s AS centroid_sum, nn.c AS n_members
+FROM c{iters} cc JOIN n{iters} nn USING (cell)
+"""
+
+
 def cosine_neardup_blocked(
     embeddings: DataFrame, threshold: float = 0.35, blocks: int = 8
 ) -> DataFrame:
