@@ -31,6 +31,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ocr_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkextract.ocr import ocr_crop_assign
+    from sparkextract.parse import parse_detections
+
+    return ocr_crop_assign(
+        parse_detections(documents_as_transcripts(_t(spark, sf_dir, "documents")))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001 documents-as-transcripts."""
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
@@ -115,6 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "task_ocr_spans": lambda s, d: tasks.ocr(
             documents_as_transcripts(_t(s, d, "documents"))
         ),
+        # P1 + the OCR containment join: SQL-expressible prefix of M9
+        "task_ocr_crop_assign": lambda s, d: _ocr_crop(s, d),
         "task_formula_recognition": lambda s, d: tasks.formula_recognition(
             documents_as_transcripts(_t(s, d, "documents"))
         ),
@@ -516,6 +527,7 @@ WHERE dot > 0
         "task_layout_detection": tasks.layout_detection_sql(),
         "task_layout_detection_v2": tasks.layout_detection_lmv3_sql(),
         "task_visualization": viz.visualize_svg_sql(),
+        "task_ocr_crop_assign": tasks.ocr_crop_assign_sql(),
         "cosine_neardup": """
 WITH q AS (
   SELECT vec_id,

@@ -155,6 +155,48 @@ def _ocr_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
 
 
+def ocr_crop_assign(detections: DataFrame) -> DataFrame:
+    """P1 region crop + the region×raw center-containment join
+    (pdf2markdown.py:195-226 + paddle_ocr shape): for every OCR-able
+    region, the raw text dets whose center falls inside it, with their
+    crop-space coordinates (shifted by the region origin, padded 25px).
+    This is the SQL-expressible prefix of the OCR merge stage — pure
+    Catalyst theta join, DuckDB-twinned (tasks.ocr_crop_assign_sql);
+    the sequential bubble/merge folds stay in ``ocr_page_arrays``."""
+    pad = F.lit(_PAD)
+    regions = detections.filter(
+        (F.col("branch") == 0) & F.col("category").isin(schema.OCR_REGION_CLASSES)
+    ).select(
+        "conv_id", "turn_idx", "page_seq",
+        F.col("det_order").alias("region_order"),
+        F.col("x0").alias("rx0"), F.col("y0").alias("ry0"),
+        F.col("x1").alias("rx1"), F.col("y1").alias("ry1"),
+    )
+    raws = detections.filter(F.col("branch") == 2).select(
+        F.col("conv_id").alias("r_conv"), F.col("turn_idx").alias("r_turn"),
+        F.col("page_seq").alias("r_page"),
+        F.col("det_idx").alias("raw_idx"), "x0", "y0", "x1", "y1", "score",
+    )
+    cx = (F.col("x0") + F.col("x1")) / 2
+    cy = (F.col("y0") + F.col("y1")) / 2
+    joined = regions.join(
+        raws,
+        (F.col("r_conv") == F.col("conv_id"))
+        & (F.col("r_turn") == F.col("turn_idx"))
+        & (F.col("r_page") == F.col("page_seq"))
+        & cx.between(F.col("rx0"), F.col("rx1"))
+        & cy.between(F.col("ry0"), F.col("ry1")),
+    )
+    return joined.select(
+        "conv_id", "turn_idx", "page_seq", "region_order", "raw_idx",
+        (F.col("x0") - F.col("rx0") + pad).alias("crop_x0"),
+        (F.col("y0") - F.col("ry0") + pad).alias("crop_y0"),
+        (F.col("x1") - F.col("rx0") + pad).alias("crop_x1"),
+        (F.col("y1") - F.col("ry0") + pad).alias("crop_y1"),
+        "score",
+    )
+
+
 def ocr_text_spans(detections: DataFrame, salt: int = 16) -> DataFrame:
     """detections → final OCR text span rows (branch 2, DETECTIONS schema).
 

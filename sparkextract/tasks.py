@@ -151,13 +151,14 @@ def table_parsing(
     return dets.withColumn("table_source", rendered)
 
 
-def layout_detection_sql() -> str:
-    """DuckDB twin of ``layout_detection(documents_as_transcripts(docs))``:
-    the FULL deterministic detection stage in SQL — payload tokenization,
-    page/det sequencing, P2 confidence filter, per-(page, branch, category)
-    greedy NMS (M3) as a recursive CTE carrying the kept-box list, the
-    reference det ordering (branch, score desc, det_idx), and F6/F7
-    truncation/rounding. Matches parse.py:_parse_batch row-for-row.
+def detections_sql_cte() -> str:
+    """Shared DuckDB CTE chain reproducing parse.py:_parse_batch over the
+    documents corpus: payload tokenization, page/det sequencing, P2
+    confidence filter, per-(page, branch, category) greedy NMS (M3) as a
+    recursive CTE carrying the kept-box list, and the reference det
+    ordering. Ends with CTEs ``ordered`` (all surviving det rows, raw
+    coords/scores) and ``pages``; callers append their final SELECT
+    (applying F6/F7 where appropriate).
 
     Caveat: score rounding uses DuckDB ROUND (half-away) vs numpy
     (half-even) — identical on the template's 2-decimal scores; the
@@ -265,7 +266,14 @@ ordered AS (
                                     ORDER BY branch, score DESC, det_idx) - 1
                  AS INT) AS det_order
   FROM surv
-)
+)"""
+
+
+def layout_detection_sql() -> str:
+    """DuckDB twin of ``layout_detection(documents_as_transcripts(docs))``:
+    the full detection stage (see ``detections_sql_cte``) filtered to the
+    layout branch, with F6/F7 truncation/rounding applied."""
+    return f"""{detections_sql_cte()}
 SELECT o.conv_id, o.turn_idx, CAST(o.page_seq AS INT) AS page_seq,
        pg.page_no, pg.page_w, pg.page_h,
        o.det_idx, o.det_order, CAST(o.branch AS INT) AS branch, o.category,
@@ -274,6 +282,37 @@ SELECT o.conv_id, o.turn_idx, CAST(o.page_seq AS INT) AS page_seq,
        o.content
 FROM ordered o JOIN pages pg USING (doc_id, page_seq)
 WHERE o.branch = 0
+"""
+
+
+def ocr_crop_assign_sql() -> str:
+    """DuckDB twin of ``ocr.ocr_crop_assign`` over the documents corpus:
+    P1 region crop + the region×raw center-containment join (the
+    SQL-expressible prefix of the OCR merge stage; the sequential
+    bubble/merge folds remain pytest-pinned)."""
+    pad = float(schema.OCR_PAD)
+    region_in = ", ".join(f"'{c}'" for c in schema.OCR_REGION_CLASSES)
+    return f"""{detections_sql_cte()},
+regions AS (
+  SELECT doc_id, conv_id, turn_idx, CAST(page_seq AS INT) AS page_seq,
+         det_order AS region_order,
+         trunc(x0) AS rx0, trunc(y0) AS ry0, trunc(x1) AS rx1, trunc(y1) AS ry1
+  FROM ordered WHERE branch = 0 AND category IN ({region_in})
+),
+raws AS (
+  SELECT doc_id, CAST(page_seq AS INT) AS page_seq, det_idx AS raw_idx,
+         x0, y0, x1, y1, score
+  FROM ordered WHERE branch = 2
+)
+SELECT rg.conv_id, rg.turn_idx, rg.page_seq, rg.region_order, rw.raw_idx,
+       rw.x0 - rg.rx0 + {pad} AS crop_x0, rw.y0 - rg.ry0 + {pad} AS crop_y0,
+       rw.x1 - rg.rx0 + {pad} AS crop_x1, rw.y1 - rg.ry0 + {pad} AS crop_y1,
+       rw.score
+FROM regions rg
+JOIN raws rw
+  ON rw.doc_id = rg.doc_id AND rw.page_seq = rg.page_seq
+ AND (rw.x0 + rw.x1) / 2 BETWEEN rg.rx0 AND rg.rx1
+ AND (rw.y0 + rw.y1) / 2 BETWEEN rg.ry0 AND rg.ry1
 """
 
 
