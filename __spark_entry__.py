@@ -113,6 +113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "task_layout_detection": lambda s, d: tasks.layout_detection(
             documents_as_transcripts(_t(s, d, "documents"))
         ),
+        # M4 formula detection (branch 1, conf + NMS + F6/F7)
+        "task_formula_detection": lambda s, d: tasks.formula_detection(
+            documents_as_transcripts(_t(s, d, "documents"))
+        ),
         # M2 second layout model (LayoutLMv3-style raw output, class ids)
         "task_layout_detection_v2": lambda s, d: tasks.layout_detection_lmv3(
             documents_as_transcripts(_t(s, d, "documents"))
@@ -526,6 +530,7 @@ WHERE dot > 0
         # full deterministic detection stage incl. recursive-CTE greedy NMS
         "task_layout_detection": tasks.layout_detection_sql(),
         "task_layout_detection_v2": tasks.layout_detection_lmv3_sql(),
+        "task_formula_detection": tasks.formula_detection_sql(),
         "task_visualization": viz.visualize_svg_sql(),
         "task_ocr_crop_assign": tasks.ocr_crop_assign_sql(),
         "cosine_neardup": """

@@ -269,10 +269,10 @@ ordered AS (
 )"""
 
 
-def layout_detection_sql() -> str:
-    """DuckDB twin of ``layout_detection(documents_as_transcripts(docs))``:
-    the full detection stage (see ``detections_sql_cte``) filtered to the
-    layout branch, with F6/F7 truncation/rounding applied."""
+def _branch_detection_sql(branch: int) -> str:
+    """Full detection stage (``detections_sql_cte``) filtered to one model
+    branch, with F6/F7 truncation/rounding applied (branch < 2 rows are
+    model detections — parse.py applies the conversion to both)."""
     return f"""{detections_sql_cte()}
 SELECT o.conv_id, o.turn_idx, CAST(o.page_seq AS INT) AS page_seq,
        pg.page_no, pg.page_w, pg.page_h,
@@ -281,8 +281,18 @@ SELECT o.conv_id, o.turn_idx, CAST(o.page_seq AS INT) AS page_seq,
        trunc(o.x0) AS x0, trunc(o.y0) AS y0, trunc(o.x1) AS x1, trunc(o.y1) AS y1,
        o.content
 FROM ordered o JOIN pages pg USING (doc_id, page_seq)
-WHERE o.branch = 0
+WHERE o.branch = {branch}
 """
+
+
+def layout_detection_sql() -> str:
+    """DuckDB twin of ``layout_detection(documents_as_transcripts(docs))``."""
+    return _branch_detection_sql(0)
+
+
+def formula_detection_sql() -> str:
+    """DuckDB twin of ``formula_detection(...)`` (M4, branch 1)."""
+    return _branch_detection_sql(1)
 
 
 def ocr_crop_assign_sql() -> str:
