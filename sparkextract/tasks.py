@@ -392,12 +392,21 @@ MODEL_REGISTRY = {
     "layout_detection_layoutlmv3": layout_detection_lmv3,
 }
 
+def visualization(transcripts: DataFrame) -> DataFrame:
+    """S6 sink as a task: per-page SVG of the layout detections (the
+    reference's per-task ``visualize: True`` config flag, as a stage)."""
+    from .viz import visualize_svg
+
+    return visualize_svg(layout_detection(transcripts))
+
+
 TASK_REGISTRY = {
     "layout_detection": layout_detection,
     "formula_detection": formula_detection,
     "formula_recognition": formula_recognition,
     "ocr": ocr,
     "table_parsing": table_parsing,
+    "visualization": visualization,
 }
 
 

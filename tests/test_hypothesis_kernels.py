@@ -103,3 +103,28 @@ def test_latex_and_escape_prop(s):
     assert kernels.latex_rm_whitespace(s) == oracle.latex_rm_whitespace(s)
     assert kernels.md_escape(s) == oracle.md_escape(s)
     assert ("zh" if kernels.is_zh(s) else "en") == oracle.detect_lang(s)
+
+
+@given(
+    st.integers(1, 24), st.integers(1, 24), st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_prop(h, w, ch, seed):
+    from sparkextract import multimodal
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    assert (multimodal.decode_png(multimodal.encode_png(arr)) == arr).all()
+
+
+@given(st.lists(st.text(max_size=30), max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_angle_cls_prop(contents):
+    from sparkextract.ocr import angle_cls
+
+    got = angle_cls(contents)
+    for raw, out in zip(contents, got):
+        assert out == oracle.angle_cls(raw)
+        if not raw.startswith("@rot180 "):
+            assert out == raw
