@@ -144,3 +144,34 @@ def test_windowed_doc_counts_watermark(spark, tmp_path):
     }
     assert got == want and got
     assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
+
+
+def test_sorted_write_sink(spark, tmp_path):
+    """write_extracted_sorted: every output file holds conversations
+    contiguously, turns ascending — no global sort needed by readers."""
+    import glob
+
+    import pandas as pd
+
+    from sparkextract.emit import write_extracted_sorted
+
+    pdf = synth.gen_transcripts(n_convs=10, seed=13)
+    out = str(tmp_path / "sorted_out")
+    write_extracted_sorted(
+        extract_fused(spark.createDataFrame(pdf, schema=schema.TRANSCRIPTS)),
+        out, buckets=4,
+    )
+    files = glob.glob(f"{out}/bucket=*/*.parquet")
+    assert files
+    seen_convs = set()
+    n_rows = 0
+    for f in files:
+        part = pd.read_parquet(f, columns=["conv_id", "turn_idx"])
+        n_rows += len(part)
+        keys = list(zip(part["conv_id"], part["turn_idx"]))
+        assert keys == sorted(keys), f  # within-file (conv, turn) order
+        for c in part["conv_id"].unique():
+            assert c not in seen_convs  # conversations never split
+            seen_convs.add(c)
+    golden = oracle.extract_corpus(pdf)
+    assert n_rows == len(golden)
