@@ -78,14 +78,16 @@ def nms_keep(boxes: np.ndarray, order: np.ndarray, iou_thres: float) -> np.ndarr
 
 def bubble_pass(bs: np.ndarray) -> np.ndarray:
     """O2 (paddle_ocr.py:57-78): stable (y0,x0) sort + 10px adjacent-swap
-    pass. Input (n,4) bboxes; returns row order as an index array."""
+    pass. Input (n,4) bboxes; returns row order as an index array.
+    Internals run on Python floats — identical IEEE doubles, ~3× less
+    dispatch overhead than numpy scalar indexing on these tiny groups."""
     n = len(bs)
-    idx = np.lexsort((np.arange(n), bs[:, 0], bs[:, 1]))  # stable (y0, x0)
-    idx = list(idx)
+    rows = bs.tolist()
+    idx = sorted(range(n), key=lambda i: (rows[i][1], rows[i][0]))  # stable
     for i in range(n - 1):
         for j in range(i, -1, -1):
             a, b = idx[j], idx[j + 1]
-            if abs(bs[b][1] - bs[a][1]) < 10 and bs[b][0] < bs[a][0]:
+            if abs(rows[b][1] - rows[a][1]) < 10 and rows[b][0] < rows[a][0]:
                 idx[j], idx[j + 1] = b, a
             else:
                 break
@@ -93,37 +95,48 @@ def bubble_pass(bs: np.ndarray) -> np.ndarray:
 
 
 def y_overlap_gt(b1, b2, thr=0.8) -> bool:
-    """F8 (paddle_ocr.py:81-91 / merge_blocks_and_spans.py:7-17)."""
-    ov = max(0.0, min(b1[3], b2[3]) - max(b1[1], b2[1]))
-    return ov / min(b1[3] - b1[1], b2[3] - b2[1]) > thr
+    """F8 (paddle_ocr.py:81-91 / merge_blocks_and_spans.py:7-17).
+    Pinned contract (DESIGN §3): min box height <= 0 → no overlap (the
+    reference would ZeroDivisionError; tests/oracle.py pins the same
+    guard so degenerate payload boxes are defined, not engine-dependent)."""
+    ov = min(b1[3], b2[3]) - max(b1[1], b2[1])
+    if ov < 0.0:
+        ov = 0.0
+    den = min(b1[3] - b1[1], b2[3] - b2[1])
+    if den <= 0:
+        return False
+    return ov / den > thr
 
 
 def merge_det_boxes(bs: np.ndarray) -> np.ndarray:
     """O7 (paddle_ocr.py:250-289): y-sessionize into lines (O3 fold) then
-    union x-touching boxes per line (O6 fold). Input/output (n,4)."""
+    union x-touching boxes per line (O6 fold). Input/output (n,4);
+    internals on Python floats (see bubble_pass)."""
     if len(bs) == 0:
         return bs.reshape(0, 4)
-    order = np.argsort(bs[:, 1], kind="stable")
-    lines: list[list[int]] = [[int(order[0])]]
+    rows = bs.tolist()
+    order = sorted(range(len(rows)), key=lambda i: rows[i][1])  # stable
+    lines: list[list[int]] = [[order[0]]]
     for i in order[1:]:
-        if y_overlap_gt(bs[i], bs[lines[-1][-1]]):
-            lines[-1].append(int(i))
+        if y_overlap_gt(rows[i], rows[lines[-1][-1]]):
+            lines[-1].append(i)
         else:
-            lines.append([int(i)])
+            lines.append([i])
     out = []
     for line in lines:
-        row = bs[line]
-        row = row[np.argsort(row[:, 0], kind="stable")]
-        cur = row[0].copy()
-        for b in row[1:]:
+        line = sorted(line, key=lambda i: rows[i][0])  # stable x0 sort
+        first = rows[line[0]]
+        cur = [first[0], first[1], first[2], first[3]]
+        for i in line[1:]:
+            b = rows[i]
             if cur[2] >= b[0]:  # x-touch → envelope union (paddle_ocr.py:233)
                 cur[0], cur[1] = min(cur[0], b[0]), min(cur[1], b[1])
                 cur[2], cur[3] = max(cur[2], b[2]), max(cur[3], b[3])
             else:
                 out.append(cur)
-                cur = b.copy()
+                cur = [b[0], b[1], b[2], b[3]]
         out.append(cur)
-    return np.vstack(out)
+    return np.asarray(out, dtype=np.float64).reshape(-1, 4)
 
 
 def subtract_intervals(lo: float, hi: float, masks: list[tuple[float, float]]):
@@ -174,21 +187,23 @@ def merge_para(types: list[str], contents: list[str], boxes: np.ndarray,
         return ""
     if not is_interline:  # fix_text_block: isolated → inline (:71-80)
         types = ["inline" if t == "isolated" else t for t in types]
-    order = np.lexsort((pool_order, boxes[:, 1]))  # stable sort by y0
-    lines: list[list[int]] = [[int(order[0])]]
+    rows = boxes.tolist()
+    porder = pool_order.tolist()
+    order = sorted(range(n), key=lambda i: (rows[i][1], porder[i]))  # stable y0
+    lines: list[list[int]] = [[order[0]]]
     for i in order[1:]:
         cur = lines[-1]
         if types[i] == "isolated" or any(types[j] == "isolated" for j in cur):
-            lines.append([int(i)])
-        elif y_overlap_gt(boxes[i], boxes[cur[-1]]):
-            cur.append(int(i))
+            lines.append([i])
+        elif y_overlap_gt(rows[i], rows[cur[-1]]):
+            cur.append(i)
         else:
-            lines.append([int(i)])
+            lines.append([i])
     out = ""
     for line in lines:
         # O4: stable x0 sort over the line's y-order sequence (:54-58)
         line = [line[k] for k in
-                sorted(range(len(line)), key=lambda k: (boxes[line[k]][0], k))]
+                sorted(range(len(line)), key=lambda k: (rows[line[k]][0], k))]
         joined = "".join(contents[i].strip() for i in line if types[i] == "text")
         zh = bool(joined) and is_zh(joined)
         for i in line:

@@ -66,9 +66,13 @@ def md_escape(s: str) -> str:
 # ---------- geometry helpers ----------
 
 def _y_overlap_exceeds(b1, b2, thr=0.8):
-    # merge_blocks_and_spans.py:7-17 / paddle_ocr.py:81-91
+    # merge_blocks_and_spans.py:7-17 / paddle_ocr.py:81-91; pinned contract:
+    # min box height <= 0 → no overlap (reference would ZeroDivisionError)
     ov = max(0.0, min(b1[3], b2[3]) - max(b1[1], b2[1]))
-    return ov / min(b1[3] - b1[1], b2[3] - b2[1]) > thr
+    den = min(b1[3] - b1[1], b2[3] - b2[1])
+    if den <= 0:
+        return False
+    return ov / den > thr
 
 
 def _overlap_in_a_ratio(a, b):

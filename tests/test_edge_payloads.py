@@ -75,6 +75,13 @@ EDGE_TURNS = [
     ("rot180", "@page 0 800 600\n@det plain text|0.9|10|10|700|100|\n"
      "@det text|0.8|15|20|300|60|@rot180 nwod edispu\n"
      "@det text|0.8|320|20|600|60|normal", None),
+    # zero-HEIGHT boxes: pinned contract min-height<=0 → no y-overlap
+    # (raw det, inline mask, and block all degenerate)
+    ("zero-height", "@page 0 800 600\n@det plain text|0.9|10|10|700|100|\n"
+     "@det text|0.8|15|20|600|20|flatline\n"
+     "@det text|0.8|15|30|600|60|normal\n"
+     "@det inline|0.8|200|40|300|40|z ^ 0\n"
+     "@det title|0.9|10|500|700|500|", None),
 ]
 
 
