@@ -4,7 +4,9 @@ Usage:
   python -m sparkextract.cli package --out dist/sparkextract.zip
   spark-submit --py-files dist/sparkextract.zip -m sparkextract.cli run \
       --input <transcripts parquet/iceberg path> --output <dir> \
-      --snapshot <input snapshot id> [--buckets 256] [--resume]
+      [--snapshot <id>] [--buckets 256]   # snapshot defaults to the
+      # content-addressed hash of the input file listing; rerunning on
+      # unchanged input is a no-op resume
 
 ``run`` executes the extraction pipeline with per-partition lineage and
 exact resume (lineage.py). ``package`` builds the --py-files zip.
@@ -39,7 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("run")
     r.add_argument("--input", required=True)
     r.add_argument("--output", required=True)
-    r.add_argument("--snapshot", required=True)
+    r.add_argument(
+        "--snapshot", default=None,
+        help="input snapshot id; default: content-addressed from the input "
+             "file listing (lineage.snapshot_id)",
+    )
     r.add_argument("--buckets", type=int, default=256)
     r.add_argument("--master", default=None)
     r.add_argument("--repartition", type=int, default=0)
