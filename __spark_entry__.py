@@ -77,6 +77,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, d: simsearch.ivf_topk(_t(s, d, "embeddings")),
         # IVF centroid TRAINING (Lloyd k-means, exact integer assignment)
         "ann_ivf_train": lambda s, d: simsearch.ivf_train(_t(s, d, "embeddings")),
+        # composed production ANN: trained centroids -> cell-probe top-k
+        "ann_ivf_topk_trained": lambda s, d: simsearch.ivf_topk_trained(
+            _t(s, d, "embeddings")
+        ),
         "cosine_neardup": lambda s, d: simsearch.cosine_neardup(_t(s, d, "embeddings")),
         # production path: LSH candidates over text -> exact cosine verify.
         # threshold 0.05 (not the 0.35 default): synthetic text-similarity is
@@ -464,6 +468,7 @@ SELECT q_id, n_id, dot, rank FROM (
 """,
         "neardup_clusters": _NEARDUP_CLUSTERS,
         "ann_ivf_train": simsearch.ivf_train_sql(),
+        "ann_ivf_topk_trained": simsearch.ivf_topk_trained_sql(),
         "cosine_neardup_lsh": _MINHASH
         + """,
 b AS (

@@ -141,8 +141,94 @@ def ivf_train(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     )
 
 
-def ivf_train_sql(k: int = 8, iters: int = 2) -> str:
-    """DuckDB twin of ``ivf_train``: the same Lloyd iterations unrolled."""
+def ivf_topk_trained(
+    embeddings: DataFrame, k: int = 5, query_mod: int = 10,
+    n_cells: int = 8, iters: int = 2,
+) -> DataFrame:
+    """The COMPOSED production ANN path: ``ivf_train`` centroids → exact
+    integer assignment of every vector → queries probe only their own
+    cell. Same exact-integer assignment rule as training (dot·count
+    cross-compare via one double division), so the whole path is
+    engine-portable; ``ivf_topk``'s fixed first-k centroids are the
+    untrained fallback."""
+    base = quantized(embeddings)
+    trained = ivf_train(embeddings, k=n_cells, iters=iters)
+    cents_d = trained.select("cell", "dim", F.col("centroid_sum").alias("s"))
+    counts = trained.select("cell", F.col("n_members").alias("c")).distinct()
+    qd = base.select("vec_id", F.posexplode("q").alias("dim", "val"))
+    scored = (
+        qd.join(F.broadcast(cents_d), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("val") * F.col("s")).alias("cdot"))
+        .join(F.broadcast(counts), "cell")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        (F.col("cdot").cast("double") / F.col("c")).desc(), F.col("cell").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("vec_id", "cell")
+    ).join(base, "vec_id")
+    queries = assigned.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qv"), "cell"
+    )
+    pairs = assigned.join(F.broadcast(queries), "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored2 = pairs.select(
+        "q_id", F.col("vec_id").alias("n_id"), _dot(F.col("qv"), F.col("q")).alias("dot")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("n_id").asc())
+    return (
+        scored2.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "dot", "rank")
+    )
+
+
+def ivf_topk_trained_sql(
+    k: int = 5, query_mod: int = 10, n_cells: int = 8, iters: int = 2
+) -> str:
+    """DuckDB twin of ``ivf_topk_trained``: the training CTE chain plus
+    assignment + cell-probe search."""
+    body = _ivf_train_cte_body(n_cells, iters)
+    return f"""
+WITH {body},
+sfin AS (
+  SELECT qd.vec_id, cc.cell, SUM(qd.val * cc.s) AS cdot
+  FROM qd JOIN c{iters} cc USING (dim) GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT sfin.vec_id, sfin.cell,
+           ROW_NUMBER() OVER (PARTITION BY sfin.vec_id
+                              ORDER BY CAST(sfin.cdot AS DOUBLE) / nn.c DESC,
+                                       sfin.cell ASC) AS rn
+    FROM sfin JOIN n{iters} nn USING (cell)
+  ) WHERE rn = 1
+),
+withv AS (SELECT a.vec_id, a.cell, q.qv FROM assign a JOIN q ON q.vec_id = a.vec_id),
+queries AS (
+  SELECT vec_id AS q_id, qv AS query_v, cell FROM withv
+  WHERE vec_id % {query_mod} = 0
+),
+pairs AS (
+  SELECT qq.q_id, w.vec_id AS n_id,
+         CAST(list_sum(list_transform(range(1, len(qq.query_v) + 1),
+                                      i -> qq.query_v[i] * w.qv[i])) AS BIGINT) AS dot
+  FROM withv w JOIN queries qq USING (cell)
+  WHERE w.vec_id <> qq.q_id
+)
+SELECT q_id, n_id, dot, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY dot DESC, n_id ASC) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
+def _ivf_train_cte_body(k: int = 8, iters: int = 2) -> str:
     parts = [
         f"""q AS (
   SELECT vec_id,
@@ -179,9 +265,13 @@ c{i} AS (
 ),
 n{i} AS (SELECT cell, COUNT(*) AS c FROM b{i} GROUP BY 1)"""
         )
-    body = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def ivf_train_sql(k: int = 8, iters: int = 2) -> str:
+    """DuckDB twin of ``ivf_train``: the same Lloyd iterations unrolled."""
     return f"""
-WITH {body}
+WITH {_ivf_train_cte_body(k, iters)}
 SELECT cc.cell, cc.dim, cc.s AS centroid_sum, nn.c AS n_members
 FROM c{iters} cc JOIN n{iters} nn USING (cell)
 """
