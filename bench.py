@@ -81,6 +81,9 @@ def run(spark) -> dict:
     timings["ann_cosine_topk"] = force(simsearch.ann_topk(t("embeddings")))
     timings["ann_ivf_topk"] = force(simsearch.ivf_topk(t("embeddings")))
     timings["ann_ivf_train"] = force(simsearch.ivf_train(t("embeddings")))
+    timings["ann_ivf_topk_trained"] = force(
+        simsearch.ivf_topk_trained(t("embeddings"))
+    )
     timings["cosine_neardup_blocked"] = force(
         simsearch.cosine_neardup_blocked(t("embeddings"))
     )
