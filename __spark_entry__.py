@@ -72,6 +72,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, d: textops.quality_score(_t(s, d, "documents")),
         "token_count": lambda s, d: textops.token_count(_t(s, d, "documents")),
         "doc_fingerprint": lambda s, d: textops.fingerprint(_t(s, d, "documents")),
+        # winnowing (SIGMOD'03): w-window minima of k-gram hashes
+        "winnow_fingerprints": lambda s, d: textops.winnow_fingerprints(
+            _t(s, d, "documents")
+        ),
         # --- similarity search over embeddings ---
         "ann_cosine_topk": lambda s, d: simsearch.ann_topk(_t(s, d, "embeddings")),
         "ann_ivf_topk": lambda s, d: simsearch.ivf_topk(_t(s, d, "embeddings")),
@@ -385,6 +389,24 @@ SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe_tokens
 FROM documents
+""",
+        "winnow_fingerprints": """
+WITH sh0 AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         md5(ws[pos + 1] || ' ' || ws[pos + 2] || ' ' || ws[pos + 3]) AS h
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 2)) AS pos
+        FROM sh0 WHERE len(ws) >= 3)
+),
+m AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM m WHERE pos >= 3
 """,
         # weights are 31^i mod 982451653; wv and each product are reduced
         # mod the same prime so nothing exceeds int64 (matches

@@ -182,6 +182,38 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): the
+    distinct minima of every ``w``-window of ``k``-gram hashes — the
+    guarantee is that any match of length >= w+k-1 words shares at least
+    one fingerprint, with a bounded fingerprint density (~2/(w+1)).
+    Hashes are md5 hex strings (lexicographic MIN is engine-portable);
+    pure Catalyst: one posexplode + one bounded window + distinct."""
+    words_df = documents.select("doc_id", F.split("text", " ").alias("ws"))
+    wcol = F.col("ws")
+    grams = F.when(
+        F.size(wcol) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(wcol) - k),
+            lambda i: F.md5(F.concat_ws(" ", wcol[i], wcol[i + 1], wcol[i + 2])),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = words_df.select("doc_id", F.posexplode(grams).alias("pos", "h"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    return (
+        g.withColumn("fp", F.min("h").over(win))
+        .where(F.col("pos") >= w - 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 FP_MOD = 982451653  # prime modulus — every intermediate stays < MOD² < 2^63
 
 
