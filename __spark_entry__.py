@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": lambda s, d: textops.minhash_signature(_t(s, d, "documents")),
         "lsh_candidate_pairs": lambda s, d: textops.lsh_candidate_pairs(_t(s, d, "documents")),
         "simhash": lambda s, d: textops.simhash(_t(s, d, "documents")),
+        # banded-Hamming SimHash near-dup (4x4-bit bands, verify <= 3)
+        "simhash_neardup": lambda s, d: textops.simhash_neardup(
+            _t(s, d, "documents")
+        ),
         "ngram_jaccard": lambda s, d: textops.ngram_jaccard_pairs(_t(s, d, "documents")),
         "lang_id_ngram": lambda s, d: textops.lang_id_ngram(_t(s, d, "documents")),
         "quality_score": lambda s, d: textops.quality_score(_t(s, d, "documents")),
@@ -341,6 +345,22 @@ FROM b a JOIN b b2 USING (band, bucket)
 WHERE a.doc_id < b2.doc_id
 """,
         "simhash": _simhash_sql(),
+        "simhash_neardup": f"""
+WITH sig AS ({_simhash_sql().strip()}),
+bands AS (
+  SELECT doc_id, simhash, CAST(band AS INT) AS band,
+         (simhash >> (CAST(band AS INT) * 4)) & 15 AS key
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         a.simhash AS sa, b2.simhash AS sb
+  FROM bands a JOIN bands b2 USING (band, key)
+  WHERE a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""",
         # whole corpus, stop-shingle df guard mirrors textops.ngram_jaccard_pairs
         "ngram_jaccard": "WITH "
         + _SHINGLES.strip()

@@ -108,6 +108,40 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     return agg.select("doc_id", sig.cast("bigint").alias("simhash"))
 
 
+def simhash_neardup(
+    documents: DataFrame, bands: int = 4, bits_per_band: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 16-bit signature into 4×4-bit keys
+    (pigeonhole: any pair within Hamming distance 3 shares at least one
+    intact band → 100% recall at the default threshold), bucket-join on
+    (band, key), then verify with bit_count(xor) <= max_hamming. Same
+    banded equi-join shape as MinHash-LSH — no all-pairs anywhere."""
+    sig = simhash(documents)
+    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    mask = (1 << bits_per_band) - 1
+    keyed = sig.select("doc_id", "simhash", band).select(
+        "doc_id", "simhash", "band",
+        F.expr(f"shiftright(simhash, band * {bits_per_band}) & {mask}").alias("key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, threshold: float = 0.02, max_shingle_df: int = 64
 ) -> DataFrame:
