@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": lambda s, d: simsearch.neardup_clusters(
             _t(s, d, "documents")
         ),
+        # deduped corpus: one representative per near-dup cluster
+        "dedup_representatives": lambda s, d: simsearch.dedup_keep_representatives(
+            _t(s, d, "documents")
+        ),
         # --- full pipeline (not SQL-expressible → rows-only check; real
         # verification is tests/test_e2e_golden.py vs tests/oracle.py).
         # spans_hash pins the spans array content across rounds so the
@@ -510,6 +514,13 @@ SELECT q_id, n_id, dot, rank FROM (
 """,
         "neardup_clusters": _NEARDUP_CLUSTERS,
         "ann_ivf_train": simsearch.ivf_train_sql(),
+        "dedup_representatives": f"""
+WITH clusters AS ({_NEARDUP_CLUSTERS.strip()})
+SELECT doc_id, n_members FROM (
+  SELECT cluster AS doc_id, COUNT(*) AS n_members
+  FROM clusters GROUP BY cluster
+)
+""",
         "ann_ivf_topk_trained": simsearch.ivf_topk_trained_sql(),
         "cosine_neardup_lsh": _MINHASH
         + """,

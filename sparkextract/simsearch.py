@@ -427,6 +427,21 @@ def cosine_neardup_lsh(
     )
 
 
+def dedup_keep_representatives(documents: DataFrame) -> DataFrame:
+    """End of the dedup pipeline: keep ONE document per near-dup cluster
+    (the min doc_id — the cluster label itself) with the cluster size, so
+    downstream training reads the deduped corpus directly. Composes
+    ``neardup_clusters`` (LSH graph → connected components); one extra
+    groupBy on the label."""
+    labels = neardup_clusters(documents)
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        labels.where(F.col("doc_id") == F.col("cluster"))
+        .join(sizes, "cluster")
+        .select("doc_id", "n_members")
+    )
+
+
 def cosine_neardup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Embedding-cosine near-dup pairs: cos(a,b) > t via the integer-exact
     inequality dot² · 10⁶ > t²·10⁶ · |a|²·|b|² (no sqrt, no FP division).
