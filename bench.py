@@ -77,6 +77,8 @@ def run(spark) -> dict:
     timings["simhash"] = force(textops.simhash(big_docs))
     timings["token_count"] = force(textops.token_count(big_docs))
     timings["doc_fingerprint"] = force(textops.fingerprint(big_docs))
+    timings["winnow_fingerprints"] = force(textops.winnow_fingerprints(big_docs))
+    timings["simhash_neardup"] = force(textops.simhash_neardup(docs))
     timings["ngram_jaccard"] = force(textops.ngram_jaccard_pairs(docs))
     timings["ann_cosine_topk"] = force(simsearch.ann_topk(t("embeddings")))
     timings["ann_ivf_topk"] = force(simsearch.ivf_topk(t("embeddings")))
