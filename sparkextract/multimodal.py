@@ -154,15 +154,168 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def encode_gif_gray(arr: np.ndarray) -> bytes:
+    """Minimal GIF87a encoder for (h, w) uint8 GRAYSCALE images: 256-entry
+    gray palette + the classic "uncompressed GIF" LZW stream (every pixel
+    a root code, CLEAR emitted before the decoder's table would widen).
+    Palette GIFs are lossless → round-trips through decode_gif."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3:
+        if a.shape[2] != 1:
+            raise ValueError("encode_gif_gray takes grayscale (h, w[, 1])")
+        a = a[:, :, 0]
+    h, w = a.shape
+    mcs = 8  # min code size: 256 root codes
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+
+    bits: list[int] = []  # LSB-first bitstream
+
+    def emit(code: int) -> None:
+        for k in range(width):
+            bits.append((code >> k) & 1)
+
+    emit(clear)
+    budget = (1 << mcs) - 2  # literals until the decoder's table widens
+    for px in a.reshape(-1).tolist():
+        if budget == 0:
+            emit(clear)
+            budget = (1 << mcs) - 2
+        emit(px)
+        budget -= 1
+    emit(eoi)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for k, b in enumerate(bits[i:i + 8]):
+            byte |= b << k
+        data.append(byte)
+
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global 256-color table
+    for i in range(256):
+        out += bytes((i, i, i))  # gray palette
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out.append(mcs)
+    for i in range(0, len(data), 255):
+        block = data[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Stdlib GIF decoder (single frame, global palette, full variable-width
+    LZW with CLEAR handling; no interlace). Returns (h, w, 3) uint8 — the
+    reference routes GIFs through check_and_read the same way
+    (paddle_ocr.py:26-28). Raises ValueError on unsupported features."""
+    if data[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF has no image block")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
+    pos += 10
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    if iflags & 0x80:
+        n = 2 << (iflags & 0x07)
+        palette = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    if palette is None:
+        raise ValueError("GIF without a color table")
+    mcs = data[pos]
+    pos += 1
+    stream = bytearray()
+    while data[pos] != 0:
+        ln = data[pos]
+        stream += data[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    roots = [bytes([i]) for i in range(1 << mcs)]
+    table: list[bytes] = []
+    width = mcs + 1
+    bitpos = 0
+    total_bits = len(stream) * 8
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return eoi
+        v = 0
+        for k in range(width):
+            p = bitpos + k
+            v |= ((stream[p >> 3] >> (p & 7)) & 1) << k
+        bitpos += width
+        return v
+
+    while True:
+        code = read_code()
+        if code == clear:
+            table = list(roots) + [b"", b""]  # placeholders for clear/eoi
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    if len(out) != iw * ih:
+        raise ValueError("bad GIF pixel count")
+    idx = np.frombuffer(bytes(out), dtype=np.uint8)
+    if idx.max(initial=0) >= len(palette):
+        raise ValueError("palette index out of range")
+    return palette[idx].reshape(ih, iw, 3)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload. PNG → REAL stdlib decode ((h,w,c) uint8).
-    Other formats need native codecs absent here: fake=True → the
-    deterministic byte-hash stand-in, else NotImplementedError."""
+    """Decode an image payload. PNG and GIF → REAL stdlib decodes
+    ((h,w,c) uint8). Other formats need native codecs absent here:
+    fake=True → the deterministic byte-hash stand-in, else
+    NotImplementedError."""
     if payload[:8] == PNG_MAGIC:
         return decode_png(bytes(payload))
+    if payload[:6] in GIF_MAGICS:
+        return decode_gif(bytes(payload))
     if not fake:
         raise NotImplementedError(
-            "non-PNG image decode requires an imaging library not present "
+            "non-PNG/GIF image decode requires an imaging library not present "
             "in this environment; pass fake=True for the deterministic stand-in"
         )
     h = hashlib.sha256(payload).digest()
@@ -232,6 +385,7 @@ def media_metadata(media: DataFrame) -> DataFrame:
         F.length("payload").alias("n_bytes"),
         magic.alias("magic_hex"),
         F.when(magic == F.lit("89504E47"), "png")
+        .when(magic == F.lit("47494638"), "gif")
         .when(magic.startswith("FFD8"), "jpeg")
         .otherwise("unknown")
         .alias("sniffed"),
@@ -249,11 +403,18 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         base = hashlib.sha256(f"media-{i}".encode()).digest()
         if kind == "image":
             side = 8 + (i % 5) * 4
-            need = side * side * 3
-            px = np.frombuffer(
-                (base * (need // len(base) + 1))[:need], dtype=np.uint8
-            ).reshape(side, side, 3)
-            payload = encode_png(px)
+            if (i // 3) % 2 == 1:  # alternate real formats: GIF (grayscale)
+                need = side * side
+                g = np.frombuffer(
+                    (base * (need // len(base) + 1))[:need], dtype=np.uint8
+                ).reshape(side, side)
+                payload = encode_gif_gray(g)
+            else:  # PNG (RGB)
+                need = side * side * 3
+                px = np.frombuffer(
+                    (base * (need // len(base) + 1))[:need], dtype=np.uint8
+                ).reshape(side, side, 3)
+                payload = encode_png(px)
             w = h = side
         else:
             payload = (base * (4 + i % 5))[: 128 + (i * 37) % 2048]

@@ -128,3 +128,14 @@ def test_angle_cls_prop(contents):
         assert out == oracle.angle_cls(raw)
         if not raw.startswith("@rot180 "):
             assert out == raw
+
+
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_prop(h, w, seed):
+    from sparkextract import multimodal
+
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    got = multimodal.decode_gif(multimodal.encode_gif_gray(g))
+    assert (got[:, :, 0] == g).all()

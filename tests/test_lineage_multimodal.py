@@ -179,6 +179,27 @@ def test_png_decoder_handles_all_filters():
     assert (multimodal.decode_png(data) == img).all()
 
 
+def test_gif_roundtrip_and_dispatch():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for shape in [(7, 5), (16, 16), (1, 1), (3, 40)]:
+        g = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        data = multimodal.encode_gif_gray(g)
+        assert data[:6] == b"GIF87a"
+        got = multimodal.decode_gif(data)
+        assert got.shape == (*shape, 3)
+        # gray palette: all three channels equal the source
+        assert (got[:, :, 0] == g).all() and (got == got[:, :, :1]).all()
+        # decode_image dispatches on the magic
+        assert (multimodal.decode_image(data)[:, :, 0] == g).all()
+    # a big image crosses multiple 255-byte sub-blocks and CLEAR resets
+    big = rng.integers(0, 256, size=(40, 40), dtype=np.uint8)
+    assert (multimodal.decode_gif(multimodal.encode_gif_gray(big))[:, :, 0] == big).all()
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(b"GIF87a" + b"\x00" * 16)
+
+
 def test_png_real_decode_drives_features(spark):
     import numpy as np
 
