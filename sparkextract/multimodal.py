@@ -305,18 +305,22 @@ def decode_gif(data: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload. PNG and GIF → REAL stdlib decodes
-    ((h,w,c) uint8). Other formats need native codecs absent here:
-    fake=True → the deterministic byte-hash stand-in, else
-    NotImplementedError."""
+    """Decode an image payload. PNG, GIF, and baseline grayscale JPEG →
+    REAL stdlib decodes ((h,w,c) uint8). Anything else (color/progressive
+    JPEG, audio/video) needs native codecs absent here: fake=True → the
+    deterministic byte-hash stand-in, else NotImplementedError."""
     if payload[:8] == PNG_MAGIC:
         return decode_png(bytes(payload))
     if payload[:6] in GIF_MAGICS:
         return decode_gif(bytes(payload))
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(bytes(payload))
     if not fake:
         raise NotImplementedError(
-            "non-PNG/GIF image decode requires an imaging library not present "
-            "in this environment; pass fake=True for the deterministic stand-in"
+            "non-PNG/GIF/JPEG image decode requires an imaging library not "
+            "present in this environment; pass fake=True for the stand-in"
         )
     h = hashlib.sha256(payload).digest()
     return np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4],
@@ -403,13 +407,22 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         base = hashlib.sha256(f"media-{i}".encode()).digest()
         if kind == "image":
             side = 8 + (i % 5) * 4
-            if (i // 3) % 2 == 1:  # alternate real formats: GIF (grayscale)
+            fmt = (i // 3) % 3  # rotate the three REAL formats
+            if fmt == 1:  # GIF (grayscale, lossless)
                 need = side * side
                 g = np.frombuffer(
                     (base * (need // len(base) + 1))[:need], dtype=np.uint8
                 ).reshape(side, side)
                 payload = encode_gif_gray(g)
-            else:  # PNG (RGB)
+            elif fmt == 2:  # baseline grayscale JPEG (lossy)
+                from .jpeg import encode_jpeg_gray
+
+                need = side * side
+                g = np.frombuffer(
+                    (base * (need // len(base) + 1))[:need], dtype=np.uint8
+                ).reshape(side, side)
+                payload = encode_jpeg_gray(g)
+            else:  # PNG (RGB, lossless)
                 need = side * side * 3
                 px = np.frombuffer(
                     (base * (need // len(base) + 1))[:need], dtype=np.uint8

@@ -227,3 +227,35 @@ def test_frame_sampling_and_metadata(spark):
     sniffed = {r.media_id: r.sniffed for r in meta}
     assert sniffed[0] == "png"  # images are now real PNGs
     assert sniffed[1] == "unknown"  # audio stays opaque bytes
+
+
+def test_jpeg_codec_exact_vs_reconstruction_oracle():
+    """decode(encode(x)) must equal the quantize/dequantize/IDCT
+    reconstruction BIT-FOR-BIT (entropy coding is exactly invertible);
+    smooth content decodes close to the original (lossy sanity)."""
+    import numpy as np
+
+    from sparkextract import jpeg
+
+    rng = np.random.default_rng(23)
+    for shape in [(8, 8), (16, 24), (7, 5), (1, 1), (33, 41)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(a))[:, :, 0]
+        assert (got == jpeg.jpeg_reconstruct_gray(a)).all(), shape
+    x = np.tile(np.linspace(0, 255, 64).astype(np.uint8), (64, 1))
+    got = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(x))[:, :, 0]
+    assert np.abs(got.astype(int) - x.astype(int)).max() <= 4
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_gray(b"\xff\xd8\xff\xd9")  # no segments
+
+
+def test_media_three_real_formats(spark):
+    media = multimodal.synth_media(spark, n=24)
+    meta = {r.media_id: r.sniffed for r in multimodal.media_metadata(media).collect()}
+    assert meta[0] == "png" and meta[3] == "gif" and meta[6] == "jpeg"
+    feats = {r.media_id: r.features
+             for r in multimodal.extract_features(media).collect()}
+    # all three real decodes produce FEATURE_DIM histograms summing ~1
+    for mid in (0, 3, 6):
+        assert len(feats[mid]) == multimodal.FEATURE_DIM
+        assert abs(sum(feats[mid]) - 1.0) < 0.05
