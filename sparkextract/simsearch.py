@@ -260,7 +260,7 @@ b{i} AS (
   ) WHERE rn = 1
 ),
 c{i} AS (
-  SELECT b{i}.cell, qd.dim, SUM(qd.val) AS s
+  SELECT b{i}.cell, qd.dim, CAST(SUM(qd.val) AS BIGINT) AS s
   FROM b{i} JOIN qd USING (vec_id) GROUP BY 1, 2
 ),
 n{i} AS (SELECT cell, COUNT(*) AS c FROM b{i} GROUP BY 1)"""
@@ -272,7 +272,7 @@ def ivf_train_sql(k: int = 8, iters: int = 2) -> str:
     """DuckDB twin of ``ivf_train``: the same Lloyd iterations unrolled."""
     return f"""
 WITH {_ivf_train_cte_body(k, iters)}
-SELECT cc.cell, cc.dim, cc.s AS centroid_sum, nn.c AS n_members
+SELECT cc.cell, cc.dim, CAST(cc.s AS BIGINT) AS centroid_sum, nn.c AS n_members
 FROM c{iters} cc JOIN n{iters} nn USING (cell)
 """
 
