@@ -31,6 +31,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _formula_recognition_sql() -> str:
+    from sparkextract.mfr import formula_recognition_sql
+
+    return formula_recognition_sql()
+
+
 def _ocr_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkextract.ocr import ocr_crop_assign
     from sparkextract.parse import parse_detections
@@ -89,7 +95,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_trained": lambda s, d: simsearch.ivf_topk_trained(
             _t(s, d, "embeddings")
         ),
-        "cosine_neardup": lambda s, d: simsearch.cosine_neardup(_t(s, d, "embeddings")),
+        # multi-probe: queries search their 3 closest cells — the recall
+        # lever (BENCH/BASELINE.md §recall) at candidate cost 3·n/cells
+        "ann_ivf_topk_nprobe": lambda s, d: simsearch.ivf_topk_trained(
+            _t(s, d, "embeddings"), nprobe=3
+        ),
+        # O(n²) all-pairs variants: CORRECTNESS BASELINES ONLY, prefixed so
+        # no unlabeled all-pairs plan is reachable as a first-class API;
+        # the production near-dup path is cosine_neardup_lsh
+        "baseline_cosine_neardup": lambda s, d: simsearch.cosine_neardup(
+            _t(s, d, "embeddings")
+        ),
         # production path: LSH candidates over text -> exact cosine verify.
         # threshold 0.05 (not the 0.35 default): synthetic text-similarity is
         # uncorrelated with embedding-similarity, so a loose verify keeps the
@@ -97,7 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_lsh": lambda s, d: simsearch.cosine_neardup_lsh(
             _t(s, d, "documents"), _t(s, d, "embeddings"), threshold=0.05
         ),
-        "cosine_neardup_blocked": lambda s, d: simsearch.cosine_neardup_blocked(
+        "baseline_cosine_neardup_blocked": lambda s, d: simsearch.cosine_neardup_blocked(
             _t(s, d, "embeddings")
         ),
         "neardup_clusters": lambda s, d: simsearch.neardup_clusters(
@@ -522,6 +538,7 @@ SELECT doc_id, n_members FROM (
 )
 """,
         "ann_ivf_topk_trained": simsearch.ivf_topk_trained_sql(),
+        "ann_ivf_topk_nprobe": simsearch.ivf_topk_trained_sql(nprobe=3),
         "cosine_neardup_lsh": _MINHASH
         + """,
 b AS (
@@ -560,7 +577,7 @@ WHERE dot > 0
   AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 1000000.0
       > 2500.0 * CAST(an AS DOUBLE) * CAST(bn AS DOUBLE)
 """,
-        "cosine_neardup_blocked": """
+        "baseline_cosine_neardup_blocked": """
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -591,7 +608,13 @@ WHERE dot > 0
         "task_formula_detection": tasks.formula_detection_sql(),
         "task_visualization": viz.visualize_svg_sql(),
         "task_ocr_crop_assign": tasks.ocr_crop_assign_sql(),
-        "cosine_neardup": """
+        # FULL M9 OCR merge layer: bubble pass as a list-state recursive
+        # CTE, line merge + mask split relationally (tasks.ocr_spans_sql)
+        "task_ocr_spans": tasks.ocr_spans_sql(),
+        # F1 fixpoint as a recursive CTE (RE2 lookahead emulated via
+        # sentinel-protected `\ ` pairs — see mfr.f1_fixpoint_cte)
+        "task_formula_recognition": _formula_recognition_sql(),
+        "baseline_cosine_neardup": """
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,

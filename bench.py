@@ -5,17 +5,26 @@ The flagship metric is extraction throughput in turns/sec (BASELINE.json
 "metric"); the suite also times the training-data operators. Execution is
 forced with the noop sink so timings measure the full plan, not collect().
 
+Round 3: every query runs BENCH_REPEAT times (default 3) with a FRESH
+DataFrame build per repetition (a reused DataFrame object lets Spark skip
+whole stages via shuffle-output reuse, which would understate repeat
+cost). Reported per-query number = median; "queries_spread" carries
+[min, max] so round-over-round deltas can be read against the noise band
+(BENCH_r02's minhash_signature 2.5× swing was exactly this noise).
+
 Env knobs:
   SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] cores (default 32)
   BENCH_REPLICATE      extraction corpus multiplier (default 8)
   BENCH_MASTER         override master (e.g. local[8] for scaling runs)
+  BENCH_REPEAT         repetitions per query (default 3, median reported)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -27,12 +36,6 @@ from sparkextract.docsource import (  # noqa: E402
     replicate_documents,
 )
 from sparkextract.fused import extract_fused  # noqa: E402
-
-
-def textops_clusters(spark, docs):
-    from sparkextract.simsearch import neardup_clusters
-
-    return neardup_clusters(docs)
 from sparkextract.minslice import min_slice  # noqa: E402
 from sparkextract.session import build_session  # noqa: E402
 
@@ -40,6 +43,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "8"))
 MASTER = os.environ.get("BENCH_MASTER", f"local[{CPUS}]")
+REPEAT = int(os.environ.get("BENCH_REPEAT", "3"))
 
 
 def _sf() -> float:
@@ -59,42 +63,53 @@ def run(spark) -> dict:
     transcripts = documents_as_transcripts(big_docs)
     n_turns = transcripts.count()
 
-    def force(df) -> float:
+    def force_once(df) -> float:
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
-        return round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
 
     timings: dict[str, float] = {}
-    # warm-up: JVM/codegen/Arrow paths (not reported)
-    force(min_slice(docs.limit(50)))
+    spread: dict[str, list[float]] = {}
 
-    timings["extract_pipeline"] = force(extract_fused(transcripts))
-    timings["extract_staged"] = force(pipeline.extract(transcripts))
-    timings["extract_min_slice"] = force(min_slice(big_docs))
-    timings["dedup_exact"] = force(textops.exact_dedup(big_docs))
-    timings["minhash_signature"] = force(textops.minhash_signature(big_docs))
-    timings["lsh_candidate_pairs"] = force(textops.lsh_candidate_pairs(big_docs))
-    timings["simhash"] = force(textops.simhash(big_docs))
-    timings["token_count"] = force(textops.token_count(big_docs))
-    timings["doc_fingerprint"] = force(textops.fingerprint(big_docs))
-    timings["winnow_fingerprints"] = force(textops.winnow_fingerprints(big_docs))
-    timings["simhash_neardup"] = force(textops.simhash_neardup(docs))
-    timings["ngram_jaccard"] = force(textops.ngram_jaccard_pairs(docs))
-    timings["ann_cosine_topk"] = force(simsearch.ann_topk(t("embeddings")))
-    timings["ann_ivf_topk"] = force(simsearch.ivf_topk(t("embeddings")))
-    timings["ann_ivf_train"] = force(simsearch.ivf_train(t("embeddings")))
-    timings["ann_ivf_topk_trained"] = force(
-        simsearch.ivf_topk_trained(t("embeddings"))
+    def bench(name: str, build) -> None:
+        """median of REPEAT runs, fresh DataFrame per run."""
+        runs = [force_once(build()) for _ in range(REPEAT)]
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+
+    # warm-up: JVM/codegen/Arrow paths (not reported)
+    force_once(min_slice(docs.limit(50)))
+
+    bench("extract_pipeline", lambda: extract_fused(transcripts))
+    bench("extract_staged", lambda: pipeline.extract(transcripts))
+    bench("extract_min_slice", lambda: min_slice(big_docs))
+    bench("dedup_exact", lambda: textops.exact_dedup(big_docs))
+    bench("minhash_signature", lambda: textops.minhash_signature(big_docs))
+    bench("lsh_candidate_pairs", lambda: textops.lsh_candidate_pairs(big_docs))
+    bench("simhash", lambda: textops.simhash(big_docs))
+    bench("token_count", lambda: textops.token_count(big_docs))
+    bench("doc_fingerprint", lambda: textops.fingerprint(big_docs))
+    bench("winnow_fingerprints", lambda: textops.winnow_fingerprints(big_docs))
+    bench("simhash_neardup", lambda: textops.simhash_neardup(docs))
+    bench("ngram_jaccard", lambda: textops.ngram_jaccard_pairs(docs))
+    bench("ann_cosine_topk", lambda: simsearch.ann_topk(t("embeddings")))
+    bench("ann_ivf_topk", lambda: simsearch.ivf_topk(t("embeddings")))
+    bench("ann_ivf_train", lambda: simsearch.ivf_train(t("embeddings")))
+    bench(
+        "ann_ivf_topk_trained",
+        lambda: simsearch.ivf_topk_trained(t("embeddings")),
     )
-    timings["cosine_neardup_blocked"] = force(
-        simsearch.cosine_neardup_blocked(t("embeddings"))
+    bench(
+        "baseline_cosine_neardup_blocked",
+        lambda: simsearch.cosine_neardup_blocked(t("embeddings")),
     )
-    timings["cosine_neardup_lsh"] = force(
-        simsearch.cosine_neardup_lsh(docs, t("embeddings"), threshold=0.05)
+    bench(
+        "cosine_neardup_lsh",
+        lambda: simsearch.cosine_neardup_lsh(docs, t("embeddings"), threshold=0.05),
     )
-    timings["neardup_clusters"] = force(textops_clusters(spark, t("documents")))
-    timings["o5_interval_union"] = force(relops.interval_union(t("orders")))
-    timings["j1_first_wins"] = force(relops.first_wins_fill(t("lineitem")))
+    bench("neardup_clusters", lambda: simsearch.neardup_clusters(t("documents")))
+    bench("o5_interval_union", lambda: relops.interval_union(t("orders")))
+    bench("j1_first_wins", lambda: relops.first_wins_fill(t("lineitem")))
 
     # --- skew story (north_rule): one conversation holds ~80% of turns.
     # unsalted = repartition on conv_id only (the hot conv lands on ONE
@@ -115,10 +130,14 @@ def run(spark) -> dict:
     )
     skewed_tr = skewed_tr.persist()
     skewed_tr.count()  # materialize once so both runs read identical input
-    timings["extract_skew_unsalted"] = force(
-        extract_fused(skewed_tr.repartition(CPUS * 2, F.col("conv_id")))
+    bench(
+        "extract_skew_unsalted",
+        lambda: extract_fused(skewed_tr.repartition(CPUS * 2, F.col("conv_id"))),
     )
-    timings["extract_skew_salted"] = force(extract_fused(skewed_tr, repartition=CPUS * 2))
+    bench(
+        "extract_skew_salted",
+        lambda: extract_fused(skewed_tr, repartition=CPUS * 2),
+    )
     skewed_tr.unpersist()
 
     total = round(sum(timings.values()), 3)
@@ -127,6 +146,8 @@ def run(spark) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spread,
+        "repeat": REPEAT,
         "sf": _sf(),
         "master": MASTER,
         "turns": n_turns,

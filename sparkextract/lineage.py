@@ -66,7 +66,11 @@ def snapshot_id(df: DataFrame) -> str:
         p = f[len("file:"):] if f.startswith("file:") else f
         try:
             st = os.stat(p)
-            h.update(f"{f}|{st.st_size}|{int(st.st_mtime)}".encode())
+            # mtime_ns + inode: a file rewritten in place within the same
+            # second at identical size still changes the snapshot id
+            h.update(
+                f"{f}|{st.st_size}|{st.st_mtime_ns}|{st.st_ino}".encode()
+            )
         except OSError:  # non-local scheme: path identity only
             h.update(f.encode())
     return h.hexdigest()

@@ -309,19 +309,30 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     REAL stdlib decodes ((h,w,c) uint8). Anything else (color/progressive
     JPEG, audio/video) needs native codecs absent here: fake=True → the
     deterministic byte-hash stand-in, else NotImplementedError."""
-    if payload[:8] == PNG_MAGIC:
-        return decode_png(bytes(payload))
-    if payload[:6] in GIF_MAGICS:
-        return decode_gif(bytes(payload))
-    if payload[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg_gray
+    try:
+        if payload[:8] == PNG_MAGIC:
+            return decode_png(bytes(payload))
+        if payload[:6] in GIF_MAGICS:
+            return decode_gif(bytes(payload))
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg_gray
 
-        return decode_jpeg_gray(bytes(payload))
-    if not fake:
-        raise NotImplementedError(
-            "non-PNG/GIF/JPEG image decode requires an imaging library not "
-            "present in this environment; pass fake=True for the stand-in"
-        )
+            return decode_jpeg_gray(bytes(payload))
+    except (ValueError, IndexError, KeyError, struct.error) as exc:
+        # magic bytes matched but the payload isn't a well-formed image
+        # (e.g. a hash-derived blob that happens to start with \xff\xd8,
+        # or a truncated file). With fake=True fall through to the
+        # stand-in like any other non-decodable payload; otherwise
+        # normalize parse failures to ValueError.
+        if not fake:
+            raise ValueError(f"corrupt image payload: {exc}") from exc
+    else:
+        if not fake:
+            raise NotImplementedError(
+                "non-PNG/GIF/JPEG image decode requires an imaging library "
+                "not present in this environment; pass fake=True for the "
+                "stand-in"
+            )
     h = hashlib.sha256(payload).digest()
     return np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4],
                          dtype=np.uint8).astype(np.float32).reshape(FEATURE_DIM, 4)

@@ -136,20 +136,27 @@ def ivf_train(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
             F.sum("val").alias("s")
         )
         counts = best.groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
-    return cents.join(counts, "cell").select(
+    out = cents.join(counts, "cell").select(
         "cell", "dim", F.col("s").alias("centroid_sum"), F.col("c").alias("n_members")
     )
+    # materialize the (tiny: k×dim) result so the cached exploded vectors
+    # can be freed — no lingering cache blocks in long-lived sessions
+    out = out.localCheckpoint(eager=True)
+    qd.unpersist()
+    return out
 
 
 def ivf_topk_trained(
     embeddings: DataFrame, k: int = 5, query_mod: int = 10,
-    n_cells: int = 8, iters: int = 2,
+    n_cells: int = 8, iters: int = 2, nprobe: int = 1,
 ) -> DataFrame:
     """The COMPOSED production ANN path: ``ivf_train`` centroids → exact
-    integer assignment of every vector → queries probe only their own
-    cell. Same exact-integer assignment rule as training (dot·count
-    cross-compare via one double division), so the whole path is
-    engine-portable; ``ivf_topk``'s fixed first-k centroids are the
+    integer assignment of every vector → queries probe their ``nprobe``
+    closest cells (multi-probe recovers the recall a single-cell probe
+    leaves behind — see BENCH/BASELINE.md §recall — at candidate cost
+    ∝ nprobe·n/n_cells). Same exact-integer assignment rule as training
+    (dot·count cross-compare via one double division), so the whole path
+    is engine-portable; ``ivf_topk``'s fixed first-k centroids are the
     untrained fallback."""
     base = quantized(embeddings)
     trained = ivf_train(embeddings, k=n_cells, iters=iters)
@@ -165,13 +172,19 @@ def ivf_topk_trained(
     w = Window.partitionBy("vec_id").orderBy(
         (F.col("cdot").cast("double") / F.col("c")).desc(), F.col("cell").asc()
     )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("vec_id", "cell")
+        ranked.where("rn = 1").select("vec_id", "cell")
     ).join(base, "vec_id")
-    queries = assigned.where(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("q").alias("qv"), "cell"
+    # each query probes its nprobe closest cells; a neighbor lives in
+    # exactly one cell and probed cells are distinct, so no dedup needed
+    queries = (
+        ranked.where((F.col("vec_id") % query_mod == 0) & (F.col("rn") <= nprobe))
+        .select(F.col("vec_id").alias("q_id"), "cell")
+        .join(
+            base.select(F.col("vec_id").alias("q_id"), F.col("q").alias("qv")),
+            "q_id",
+        )
     )
     pairs = assigned.join(F.broadcast(queries), "cell").where(
         F.col("vec_id") != F.col("q_id")
@@ -187,11 +200,51 @@ def ivf_topk_trained(
     )
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
+    """Retrieval quality of an approximate top-k against the exact one:
+    mean over queries of |approx ∩ exact| / k. Parity tests prove the IVF
+    paths are *deterministic*; this measures whether the index actually
+    *retrieves* — the number you want before trusting cell-probe search
+    at scale (exact=ann_topk is the ground truth)."""
+    hits = (
+        exact.select("q_id", "n_id")
+        .join(approx.select("q_id", "n_id"), ["q_id", "n_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_q = (
+        exact.select("q_id").distinct()
+        .join(hits, "q_id", "left")
+        .select((F.coalesce("n_hit", F.lit(0)) / F.lit(k)).alias("r"))
+    )
+    return float(per_q.agg(F.avg("r")).first()[0])
+
+
+def ivf_recall_report(
+    embeddings: DataFrame, k: int = 5, cells_grid: tuple[int, ...] = (4, 8, 16)
+) -> dict:
+    """recall@k of ivf_topk (fixed first-k centroids) and ivf_topk_trained
+    (Lloyd-trained centroids) vs the brute-force ann_topk ground truth,
+    across an n_cells sensitivity grid. Returns
+    {n_cells: {"ivf": r, "trained": r}}."""
+    exact = ann_topk(embeddings, k=k)
+    out: dict[int, dict[str, float]] = {}
+    for c in cells_grid:
+        out[c] = {
+            "ivf": round(recall_at_k(ivf_topk(embeddings, k=k, n_cells=c), exact, k), 4),
+            "trained": round(
+                recall_at_k(ivf_topk_trained(embeddings, k=k, n_cells=c), exact, k), 4
+            ),
+        }
+    return out
+
+
 def ivf_topk_trained_sql(
-    k: int = 5, query_mod: int = 10, n_cells: int = 8, iters: int = 2
+    k: int = 5, query_mod: int = 10, n_cells: int = 8, iters: int = 2,
+    nprobe: int = 1,
 ) -> str:
     """DuckDB twin of ``ivf_topk_trained``: the training CTE chain plus
-    assignment + cell-probe search."""
+    assignment + nprobe-cell probe search."""
     body = _ivf_train_cte_body(n_cells, iters)
     return f"""
 WITH {body},
@@ -199,19 +252,19 @@ sfin AS (
   SELECT qd.vec_id, cc.cell, SUM(qd.val * cc.s) AS cdot
   FROM qd JOIN c{iters} cc USING (dim) GROUP BY 1, 2
 ),
-assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT sfin.vec_id, sfin.cell,
-           ROW_NUMBER() OVER (PARTITION BY sfin.vec_id
-                              ORDER BY CAST(sfin.cdot AS DOUBLE) / nn.c DESC,
-                                       sfin.cell ASC) AS rn
-    FROM sfin JOIN n{iters} nn USING (cell)
-  ) WHERE rn = 1
+ranked AS (
+  SELECT sfin.vec_id, sfin.cell,
+         ROW_NUMBER() OVER (PARTITION BY sfin.vec_id
+                            ORDER BY CAST(sfin.cdot AS DOUBLE) / nn.c DESC,
+                                     sfin.cell ASC) AS rn
+  FROM sfin JOIN n{iters} nn USING (cell)
 ),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
 withv AS (SELECT a.vec_id, a.cell, q.qv FROM assign a JOIN q ON q.vec_id = a.vec_id),
 queries AS (
-  SELECT vec_id AS q_id, qv AS query_v, cell FROM withv
-  WHERE vec_id % {query_mod} = 0
+  SELECT r.vec_id AS q_id, q.qv AS query_v, r.cell
+  FROM ranked r JOIN q ON q.vec_id = r.vec_id
+  WHERE r.vec_id % {query_mod} = 0 AND r.rn <= {nprobe}
 ),
 pairs AS (
   SELECT qq.q_id, w.vec_id AS n_id,
@@ -376,7 +429,16 @@ def neardup_clusters(documents: DataFrame, max_iter: int = 1000) -> DataFrame:
         labels.unpersist()
         labels = new
         if changed == 0:
-            return labels
+            # truncate lineage + free every intermediate cache block
+            # (edges/sym/labels) before handing the result out
+            out = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            sym.unpersist()
+            edges.unpersist()
+            return out
+    sym.unpersist()
+    edges.unpersist()
+    labels.unpersist()
     raise RuntimeError(
         f"neardup_clusters did not converge in {max_iter} rounds — "
         "graph diameter exceeds the runaway guard; raise max_iter"

@@ -326,6 +326,219 @@ JOIN raws rw
 """
 
 
+def ocr_spans_sql() -> str:
+    """DuckDB twin of ``ocr.ocr_text_spans`` over the documents corpus —
+    the FULL M9 merge layer (reference pdf2markdown.py:195-256 +
+    paddle_ocr.py:57-172,388-450), previously rows-only:
+
+    - P1 crop + center-containment assignment (``mine``),
+    - M7 angle classification (``@rot180`` marker un-rotation),
+    - O2 bubble pass — the one genuinely sequential fold: a stable
+      (y0,x0)-sorted insertion pass where each box bubbles down past
+      predecessors while (|Δy0| < 10 AND x0 < pred.x0). Recursive CTE
+      ``bp`` carries the placed-prefix as a LIST<STRUCT>; the insertion
+      point is len-of-maximal-condition-suffix, computed with an indexed
+      list_filter (same list-state trick as the greedy-NMS CTE above),
+    - O3/O6/O7 line merge — RELATIONAL: sessionization compares each box
+      only to its predecessor in y-order (lag window), x-union is the
+      classic islands pattern (running MAX(x1) vs next x0), envelope =
+      MIN/MAX group aggregates,
+    - J2 mask split — interval union of y-overlapping masks (islands
+      again) then gap segments via lag, replicating the reference's exact
+      emit rule (`if lo < m0: emit (lo, m0-1)`, tail `max(m1+1, lo)`),
+      including its degenerate inverted-interval emissions,
+    - consume + P3: per span, contained crops ordered by (center_x,
+      det_idx); score = sequential-fold mean (DuckDB list_sum folds
+      left-to-right over the ordered list — verified bit-equal to the
+      kernel's += loop), drop < 0.5, content = ' '-join.
+
+    det_order continues after the page's model detections (offset =
+    MAX(det_order)+1 over branch<2). Model rows enter in F6/F7-converted
+    form (trunc/round), raws raw — mirroring parse.py:159-160.
+    """
+    region_in = ", ".join(f"'{c}'" for c in schema.OCR_REGION_CLASSES)
+    pad = float(schema.OCR_PAD)
+    drop = float(schema.DROP_SCORE)
+    key = "doc_id, page_seq, region_order"
+    # y_overlap_gt(b1, b2) > 0.8 (paddle_ocr.py:81-91; den<=0 guard per DESIGN §3)
+    def yov(a: str, b: str) -> str:
+        den = f"LEAST({a}.y1 - {a}.y0, {b}.y1 - {b}.y0)"
+        ov = f"GREATEST(LEAST({a}.y1, {b}.y1) - GREATEST({a}.y0, {b}.y0), 0)"
+        return f"(CASE WHEN {den} <= 0 THEN FALSE ELSE {ov} / {den} > 0.8 END)"
+
+    # insertion point for bubble element orig[i+1] into prefix st[1..i]:
+    # largest j where the swap condition FAILS (element stops there), 0 if
+    # it bubbles all the way down
+    jmax = (
+        "coalesce(list_max(list_filter(range(1, i + 1), "
+        "j -> NOT (abs(orig[i + 1].y0 - st[j].y0) < 10 "
+        "AND orig[i + 1].x0 < st[j].x0))), 0)"
+    )
+    return f"""{detections_sql_cte()},
+rg2 AS (
+  SELECT doc_id, conv_id, turn_idx, page_seq, det_order AS region_order,
+         trunc(x0) AS rx0, trunc(y0) AS ry0, trunc(x1) AS rx1, trunc(y1) AS ry1
+  FROM ordered WHERE branch = 0 AND category IN ({region_in})
+),
+rw2 AS (
+  SELECT doc_id, page_seq, det_idx, x0, y0, x1, y1, score,
+         CASE WHEN content LIKE '@rot180 %' THEN reverse(substr(content, 9))
+              ELSE content END AS content
+  FROM ordered WHERE branch = 2
+),
+offs AS (
+  SELECT doc_id, page_seq, MAX(det_order) + 1 AS off
+  FROM ordered WHERE branch < 2 GROUP BY 1, 2
+),
+mine0 AS (
+  SELECT g.doc_id, g.page_seq, g.region_order, r.det_idx, r.score, r.content,
+         r.x0 - (g.rx0 - {pad}) AS cx0, r.y0 - (g.ry0 - {pad}) AS cy0,
+         r.x1 - (g.rx0 - {pad}) AS cx1, r.y1 - (g.ry0 - {pad}) AS cy1
+  FROM rg2 g JOIN rw2 r
+    ON r.doc_id = g.doc_id AND r.page_seq = g.page_seq
+   AND (r.x0 + r.x1) / 2 BETWEEN g.rx0 AND g.rx1
+   AND (r.y0 + r.y1) / 2 BETWEEN g.ry0 AND g.ry1
+),
+mine AS (
+  SELECT *, (cx0 + cx1) / 2 AS ccx, (cy0 + cy1) / 2 AS ccy FROM mine0
+),
+bseed AS (
+  SELECT {key},
+         list(struct_pack(x0 := cx0, y0 := cy0, x1 := cx1, y1 := cy1)
+              ORDER BY cy0, cx0, det_idx) AS orig
+  FROM mine GROUP BY 1, 2, 3
+),
+bp({key}, i, orig, st) AS (
+  SELECT {key}, 1, orig, [orig[1]] FROM bseed
+  UNION ALL
+  SELECT {key}, i + 1, orig,
+         list_slice(st, 1, {jmax}) || [orig[i + 1]] || list_slice(st, {jmax} + 1, i)
+  FROM bp WHERE i < len(orig)
+),
+bexp AS (
+  SELECT {key}, generate_subscripts(st, 1) AS bpos, unnest(st) AS bx
+  FROM bp WHERE i = len(orig)
+),
+ys AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY bx.y0, bpos) AS ypos
+  FROM bexp
+),
+sess AS (
+  SELECT *, SUM(CASE WHEN pb IS NULL THEN 1
+                     WHEN {yov("bx", "pb")} THEN 0 ELSE 1 END)
+              OVER (PARTITION BY {key} ORDER BY ypos) AS line_id
+  FROM (SELECT *, lag(bx) OVER (PARTITION BY {key} ORDER BY ypos) AS pb FROM ys)
+),
+xs AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {key}, line_id
+                               ORDER BY bx.x0, ypos) AS xpos
+  FROM sess
+),
+isl AS (
+  SELECT *, SUM(CASE WHEN pmax IS NULL OR bx.x0 > pmax THEN 1 ELSE 0 END)
+              OVER (PARTITION BY {key}, line_id ORDER BY xpos) AS island
+  FROM (SELECT *, MAX(bx.x1) OVER (PARTITION BY {key}, line_id ORDER BY xpos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pmax
+        FROM xs)
+),
+mb AS (
+  SELECT {key}, line_id, island,
+         MIN(bx.x0) AS bx0, MIN(bx.y0) AS by0, MAX(bx.x1) AS bx1, MAX(bx.y1) AS by1
+  FROM isl GROUP BY 1, 2, 3, 4, 5
+),
+mbo AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY line_id, island) AS box_ord
+  FROM mb
+),
+mk AS (
+  SELECT g.doc_id, g.page_seq, g.region_order,
+         m.x0 - (g.rx0 - {pad}) AS kx0, m.y0 - (g.ry0 - {pad}) AS ky0,
+         m.x1 - (g.rx0 - {pad}) AS kx1, m.y1 - (g.ry0 - {pad}) AS ky1
+  FROM rg2 g JOIN (SELECT doc_id, page_seq, trunc(x0) AS x0, trunc(y0) AS y0,
+                          trunc(x1) AS x1, trunc(y1) AS y1
+                   FROM ordered WHERE branch = 1) m
+    ON m.doc_id = g.doc_id AND m.page_seq = g.page_seq
+  WHERE NOT (m.x1 - (g.rx0 - {pad}) < 0 OR m.y1 - (g.ry0 - {pad}) < 0
+             OR m.x0 - (g.rx0 - {pad}) > g.rx1 - g.rx0 + 2 * {pad}
+             OR m.y0 - (g.ry0 - {pad}) > g.ry1 - g.ry0 + 2 * {pad})
+),
+bm AS (
+  SELECT b.doc_id, b.page_seq, b.region_order, b.box_ord, k.kx0 AS mlo, k.kx1 AS mhi
+  FROM mbo b JOIN mk k USING (doc_id, page_seq, region_order)
+  WHERE CASE WHEN LEAST(b.by1 - b.by0, k.ky1 - k.ky0) <= 0 THEN FALSE
+             ELSE GREATEST(LEAST(b.by1, k.ky1) - GREATEST(b.by0, k.ky0), 0)
+                  / LEAST(b.by1 - b.by0, k.ky1 - k.ky0) > 0.8 END
+),
+mki AS (
+  SELECT *, SUM(CASE WHEN pmax IS NULL OR mlo > pmax THEN 1 ELSE 0 END)
+              OVER (PARTITION BY {key}, box_ord ORDER BY mlo, mhi) AS mgrp
+  FROM (SELECT *, MAX(mhi) OVER (PARTITION BY {key}, box_ord ORDER BY mlo, mhi
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pmax
+        FROM bm)
+),
+mrg AS (
+  SELECT {key}, box_ord, mgrp, MIN(mlo) AS mlo, MAX(mhi) AS mhi
+  FROM mki GROUP BY 1, 2, 3, 4, 5
+),
+kept AS (
+  SELECT m.*, b.bx0, b.bx1,
+         ROW_NUMBER() OVER (PARTITION BY m.doc_id, m.page_seq, m.region_order, m.box_ord
+                            ORDER BY m.mlo) AS kpos
+  FROM mrg m JOIN mbo b USING (doc_id, page_seq, region_order, box_ord)
+  WHERE m.mhi >= b.bx0 AND m.mlo <= b.bx1
+),
+segs0 AS (
+  SELECT {key}, box_ord,
+         COALESCE(LAG(mhi) OVER (PARTITION BY {key}, box_ord ORDER BY kpos) + 1, bx0)
+           AS seg_lo,
+         mlo - 1 AS seg_hi, mlo AS gate
+  FROM kept
+),
+spans AS (
+  SELECT {key}, box_ord, seg_lo, seg_hi FROM segs0 WHERE seg_lo < gate
+  UNION ALL
+  SELECT {key}, box_ord, MAX(mhi) + 1 AS seg_lo, MAX(bx1) AS seg_hi
+  FROM kept GROUP BY 1, 2, 3, 4 HAVING MAX(mhi) + 1 <= MAX(bx1)
+  UNION ALL
+  SELECT b.doc_id, b.page_seq, b.region_order, b.box_ord, b.bx0, b.bx1
+  FROM mbo b ANTI JOIN kept k USING (doc_id, page_seq, region_order, box_ord)
+),
+agg AS (
+  SELECT s.doc_id, s.page_seq, s.region_order, s.box_ord, s.seg_lo, s.seg_hi,
+         MIN(b.by0) AS by0, MIN(b.by1) AS by1,
+         list_sum(list(m.score ORDER BY m.ccx, m.det_idx)) / COUNT(*) AS rawscore,
+         string_agg(m.content, ' ' ORDER BY m.ccx, m.det_idx) AS content
+  FROM spans s
+  JOIN mbo b USING (doc_id, page_seq, region_order, box_ord)
+  JOIN mine m
+    ON m.doc_id = s.doc_id AND m.page_seq = s.page_seq
+   AND m.region_order = s.region_order
+   AND m.ccx BETWEEN s.seg_lo AND s.seg_hi
+   AND m.ccy BETWEEN b.by0 AND b.by1
+  GROUP BY 1, 2, 3, 4, 5, 6
+  HAVING list_sum(list(m.score ORDER BY m.ccx, m.det_idx)) / COUNT(*) >= {drop}
+)
+SELECT g.conv_id, g.turn_idx, CAST(a.page_seq AS INT) AS page_seq,
+       pg.page_no, pg.page_w, pg.page_h,
+       CAST(-1 AS INT) AS det_idx,
+       CAST(o.off + ROW_NUMBER() OVER (PARTITION BY a.doc_id, a.page_seq
+                                       ORDER BY a.region_order, a.box_ord, a.seg_lo)
+            - 1 AS INT) AS det_order,
+       CAST(2 AS INT) AS branch, 'text' AS category,
+       round(a.rawscore, 2) AS score,
+       a.seg_lo + (g.rx0 - {pad}) AS x0, a.by0 + (g.ry0 - {pad}) AS y0,
+       a.seg_hi + (g.rx0 - {pad}) AS x1, a.by1 + (g.ry0 - {pad}) AS y1,
+       a.content
+FROM agg a
+JOIN rg2 g ON g.doc_id = a.doc_id AND g.page_seq = a.page_seq
+          AND g.region_order = a.region_order
+JOIN offs o ON o.doc_id = a.doc_id AND o.page_seq = a.page_seq
+JOIN pages pg ON pg.doc_id = a.doc_id AND pg.page_seq = a.page_seq
+"""
+
+
 def layout_detection_lmv3_sql(ignore_catids: tuple[int, ...] = ()) -> str:
     """DuckDB twin of ``layout_detection_lmv3`` (same tokenization CTEs as
     ``layout_detection_sql``, but raw model output: no conf gate, no NMS,

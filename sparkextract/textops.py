@@ -231,7 +231,9 @@ def winnow_fingerprints(
         F.size(wcol) >= k,
         F.transform(
             F.sequence(F.lit(0), F.size(wcol) - k),
-            lambda i: F.md5(F.concat_ws(" ", wcol[i], wcol[i + 1], wcol[i + 2])),
+            lambda i: F.md5(
+                F.concat_ws(" ", *[wcol[i + j] for j in range(k)])
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = words_df.select("doc_id", F.posexplode(grams).alias("pos", "h"))

@@ -88,15 +88,15 @@ WITH det AS ({layout_detection_sql()}),
 pieces AS (
   SELECT conv_id, turn_idx, page_seq, page_w, page_h, det_order,
          printf('{_RECT_FMT}',
-                CAST(x0 AS INT), CAST(y0 AS INT),
-                CAST(x1 - x0 AS INT), CAST(y1 - y0 AS INT),
-                col, col, CAST(x0 AS INT), CAST(y0 AS INT) - 5,
+                CAST(trunc(x0) AS INT), CAST(trunc(y0) AS INT),
+                CAST(trunc(x1 - x0) AS INT), CAST(trunc(y1 - y0) AS INT),
+                col, col, CAST(trunc(x0) AS INT), CAST(trunc(y0) AS INT) - 5,
                 category, score) AS piece
   FROM (SELECT *, CASE category {case_color} END AS col FROM det)
 )
 SELECT conv_id, turn_idx, page_seq,
        printf('<svg xmlns="http://www.w3.org/2000/svg" width="%d" height="%d">',
-              CAST(page_w AS INT), CAST(page_h AS INT))
+              CAST(trunc(page_w) AS INT), CAST(trunc(page_h) AS INT))
          || string_agg(piece, '' ORDER BY det_order) || '</svg>' AS svg
 FROM pieces
 GROUP BY conv_id, turn_idx, page_seq, page_w, page_h
