@@ -123,6 +123,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": lambda s, d: simsearch.dedup_keep_representatives(
             _t(s, d, "documents")
         ),
+        # END-TO-END training-data path: extraction -> near-dup dedup ->
+        # quality gate -> token accounting, text pinned by md5
+        "pipeline_dedup_extract": lambda s, d: textops.training_corpus(
+            _t(s, d, "documents")
+        ),
         # --- full pipeline (not SQL-expressible → rows-only check; real
         # verification is tests/test_e2e_golden.py vs tests/oracle.py).
         # spans_hash pins the spans array content across rounds so the
@@ -539,6 +544,23 @@ SELECT doc_id, n_members FROM (
 """,
         "ann_ivf_topk_trained": simsearch.ivf_topk_trained_sql(),
         "ann_ivf_topk_nprobe": simsearch.ivf_topk_trained_sql(nprobe=3),
+        "pipeline_dedup_extract": rf"""
+WITH extracted AS ({min_slice_sql()}),
+clusters AS ({_NEARDUP_CLUSTERS.strip()}),
+reps AS (SELECT cluster AS doc_id, COUNT(*) AS n_members
+         FROM clusters GROUP BY cluster),
+q AS (
+  SELECT e.doc_id, r.n_members,
+         CAST(len(list_filter(string_split(e.mini_md, ' '), w -> w <> ''))
+              AS INT) AS n_words,
+         CAST(len(regexp_extract_all(e.mini_md, '\w+|[^\w\s]')) AS INT)
+           AS n_bpe_tokens,
+         md5(e.mini_md) AS text_hash
+  FROM extracted e JOIN reps r USING (doc_id)
+)
+SELECT doc_id, n_members, n_words, n_bpe_tokens, text_hash
+FROM q WHERE n_words >= 40
+""",
         "cosine_neardup_lsh": _MINHASH
         + """,
 b AS (

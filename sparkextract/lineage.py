@@ -15,11 +15,17 @@ metadata-sized read, no per-bucket driver loop.
 Iceberg status (explicit): this sandbox ships no iceberg-spark-runtime
 jar, so storage is parquet with dynamic partition overwrite plus this
 manifest-style lineage table. What IS real Iceberg-like semantics here:
-content-addressed snapshot ids (``snapshot_id`` hashes the input file
-listing — path, size, mtime — so a changed input is a NEW snapshot and
-resume against it reprocesses, like pinning an Iceberg snapshot-id
-read). What is NOT: no catalog, no manifest-file format, no sorted
-writes, no partition evolution. The write path is isolated below so an
+(a) content-addressed snapshot ids (``snapshot_id`` hashes the input
+file listing — path, size, mtime_ns, inode — so a changed input is a
+NEW snapshot and resume against it reprocesses, like pinning an Iceberg
+snapshot-id read); (b) TIME TRAVEL — data files are laid out under
+``data/snapshot=<id>/bucket=<b>/`` so a new snapshot never overwrites an
+old one's files, ``read_snapshot`` resolves a pinned (or the latest)
+snapshot through the lineage manifest with partition pruning doing the
+file selection, and ``snapshot_log`` is the history table (snapshot,
+committed_at range, buckets, row counts). What is NOT: no catalog, no
+manifest-file format, no sorted writes, no partition evolution, no
+retention/expire-snapshots GC. The write path is isolated below so an
 Iceberg writer can be swapped in where the runtime jar exists
 (``spark.sql.catalog.*`` conf + ``writeTo(...).append()``).
 
@@ -86,6 +92,60 @@ def committed_buckets(spark: SparkSession, out_dir: str, snapshot: str) -> set[i
     return {r.partition_id for r in rows}
 
 
+def snapshot_log(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The table history (Iceberg ``snapshots`` metadata-table analog):
+    one row per input snapshot, from the lineage manifest —
+    (snapshot, first/last committed_at, n_buckets, rows_in, rows_out),
+    newest last. Metadata-sized: reads only the manifest, never data."""
+    lin = spark.read.parquet(os.path.join(out_dir, LINEAGE_DIR))
+    return (
+        lin.groupBy(F.col("input_snapshot").alias("snapshot"))
+        .agg(
+            F.min("committed_at").alias("first_committed_at"),
+            F.max("committed_at").alias("last_committed_at"),
+            F.countDistinct("partition_id").alias("n_buckets"),
+            F.sum("rows_in").alias("rows_in"),
+            F.sum("rows_out").alias("rows_out"),
+        )
+        .orderBy("first_committed_at")
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, out_dir: str, snapshot: str | None = None
+) -> DataFrame:
+    """Pinned snapshot read (Iceberg ``VERSION AS OF`` analog).
+
+    ``snapshot=None`` resolves the LATEST snapshot from the manifest
+    (max committed_at). Only buckets the manifest records as committed
+    for that snapshot are visible — a crash between data-write and
+    manifest-append stays invisible, the same read-committed contract the
+    resume path relies on. File selection is partition pruning on the
+    ``snapshot``/``bucket`` partition columns (no directory listing of
+    other snapshots' data)."""
+    lin = spark.read.parquet(os.path.join(out_dir, LINEAGE_DIR))
+    if snapshot is None:
+        latest = (
+            lin.orderBy(F.col("committed_at").desc())
+            .select("input_snapshot")
+            .first()
+        )
+        if latest is None:
+            raise ValueError(f"read_snapshot: no committed snapshots in {out_dir}")
+        snapshot = latest.input_snapshot
+    committed = [
+        int(r.partition_id)
+        for r in lin.where(F.col("input_snapshot") == snapshot)
+        .select("partition_id").distinct().collect()
+    ]
+    if not committed:
+        raise ValueError(f"read_snapshot: unknown snapshot {snapshot!r} in {out_dir}")
+    data = spark.read.parquet(os.path.join(out_dir, DATA_DIR))
+    return data.where(
+        (F.col("snapshot") == snapshot) & F.col("bucket").isin(committed)
+    )
+
+
 def run_with_lineage(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -132,9 +192,15 @@ def run_with_lineage(
     out = out.observe(obs_out, F.count(F.lit(1)).alias("total"), *_counts("b"))
     data_path = os.path.join(out_dir, DATA_DIR)
     (
-        out.write.mode("overwrite")
+        # snapshot is the OUTER partition layer: a new input snapshot
+        # writes to fresh directories and never touches an old snapshot's
+        # files — that immutability is what makes read_snapshot a real
+        # pinned read. Dynamic overwrite still replaces exactly the
+        # (snapshot, bucket) pairs being (re)written on retry.
+        out.withColumn("snapshot", F.lit(snapshot))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
+        .partitionBy("snapshot", "bucket")
         .parquet(data_path)
     )
     m_in, m_out = obs_in.get, obs_out.get
@@ -142,15 +208,18 @@ def run_with_lineage(
     rows_out = {b: int(m_out[f"b{b}"]) for b in todo}
     wall = time.perf_counter() - t0
 
+    committed_at = time.time()
     lineage_rows = [
         (int(b), snapshot, rows_in[b], rows_out[b],
-         float(round(wall / max(len(todo), 1), 4)))
+         float(round(wall / max(len(todo), 1), 4)), committed_at,
+         f"{DATA_DIR}/snapshot={snapshot}/bucket={int(b)}")
         for b in todo
     ]
     spark.createDataFrame(
         lineage_rows,
         "partition_id INT, input_snapshot STRING, rows_in BIGINT, "
-        "rows_out BIGINT, wall_time_s DOUBLE",
+        "rows_out BIGINT, wall_time_s DOUBLE, committed_at DOUBLE, "
+        "data_path STRING",
     ).write.mode("append").parquet(os.path.join(out_dir, LINEAGE_DIR))
     return {
         "buckets": buckets,
