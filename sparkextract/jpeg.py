@@ -1,19 +1,25 @@
-"""Pure-stdlib baseline JPEG codec (grayscale, single scan).
+"""Pure-stdlib baseline JPEG codec (grayscale + 4:2:0 YCbCr color).
 
-The third REAL image format for the multimodal column (after PNG and
-GIF): ``decode_jpeg_gray`` parses DQT/SOF0/DHT/SOS, entropy-decodes the
-huffman bitstream (byte unstuffing, DC prediction, run-length AC),
-dequantizes and inverse-DCTs each 8×8 block. ``encode_jpeg_gray`` is the
-matching encoder (standard Annex-K luminance tables). JPEG is lossy, so
-the exact test oracle is ``jpeg_reconstruct_gray`` — the quantize →
-dequantize → IDCT reconstruction computed WITHOUT entropy coding;
-``decode(encode(x)) == jpeg_reconstruct_gray(x)`` must hold bit-for-bit
-(entropy coding is exactly invertible), which pins the huffman/bitstream
-layer. Reference analog: paddle_ocr.py:17-19 ``img_decode``/cv2.imdecode.
+A REAL image format for the multimodal column (with PNG and GIF):
+``decode_jpeg`` parses DQT/SOF0/DHT/SOS, entropy-decodes the huffman
+bitstream (byte unstuffing, DC prediction per component, run-length AC),
+dequantizes and inverse-DCTs each 8×8 block; for 3-component scans it
+walks 4:2:0 MCUs (4 Y + Cb + Cr), nearest-upsamples chroma and converts
+back to RGB. ``encode_jpeg_gray`` / ``encode_jpeg_color`` are the
+matching encoders (standard Annex-K luminance + chrominance tables).
+JPEG is lossy, so the exact test oracles are ``jpeg_reconstruct_gray`` /
+``jpeg_reconstruct_color`` — the colorspace → subsample → quantize →
+dequantize → IDCT → upsample reconstruction computed WITHOUT entropy
+coding; ``decode(encode(x)) == jpeg_reconstruct(x)`` must hold
+bit-for-bit (entropy coding is exactly invertible), which pins the
+huffman/bitstream/MCU layer. The decode path and the oracle share every
+numeric helper, so equality is structural, not luck. Reference analog:
+paddle_ocr.py:17-19 ``img_decode``/cv2.imdecode.
 
-Scope: 8-bit grayscale, baseline DCT, no restart markers, no subsampling.
-Color/progressive JPEGs raise ValueError (decode_image falls back).
-"""
+Scope: 8-bit baseline DCT, single scan, no restart markers; gray (1
+component, no subsampling) or color (3 components, fixed 4:2:0).
+Progressive / other samplings raise ValueError (decode_image falls
+back)."""
 
 from __future__ import annotations
 
@@ -54,6 +60,43 @@ AC_VALS = [
     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+# ITU-T T.81 Annex K.1 chrominance quantization table
+QTAB_C = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+# Annex K.3 chrominance huffman specs
+DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_VALS_C = list(range(12))
+AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
@@ -124,19 +167,66 @@ class _BitWriter:
         return bytes(out)
 
 
-def _quantized_blocks(arr: np.ndarray):
-    """(padded shape, iterator of per-block zigzag int coefficient arrays)."""
+def _quantized_blocks(arr: np.ndarray, qtab: np.ndarray | None = None, mult: int = 8):
+    """(padded shape, list of per-block zigzag int coefficient arrays),
+    blocks in row-major 8×8 raster order; plane edge-padded to a multiple
+    of ``mult`` (16 for the 4:2:0 luma plane)."""
+    qt = QTAB if qtab is None else qtab
     a = np.asarray(arr, dtype=np.uint8)
     h, w = a.shape
-    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    H, W = -(-h // mult) * mult, -(-w // mult) * mult
     padded = np.pad(a, ((0, H - h), (0, W - w)), mode="edge").astype(np.float64) - 128.0
     blocks = []
     for by in range(0, H, 8):
         for bx in range(0, W, 8):
             F = _DCT @ padded[by:by + 8, bx:bx + 8] @ _DCT.T
-            q = np.rint(F / QTAB).astype(np.int64)
+            q = np.rint(F / qt).astype(np.int64)
             blocks.append(q.reshape(-1)[ZIG])
     return (H, W), blocks
+
+
+# ---------- color: JFIF YCbCr + 4:2:0 sampling (shared by the encoder,
+# the decoder and the reconstruction oracle — bit-exactness by sharing)
+
+def _rgb_to_ycbcr(a: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = a[:, :, 0].astype(np.float64)
+    g = a[:, :, 1].astype(np.float64)
+    b = a[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    to8 = lambda p: np.clip(np.rint(p), 0, 255).astype(np.uint8)  # noqa: E731
+    return to8(y), to8(cb), to8(cr)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return np.stack(
+        [np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in (r, g, b)], axis=2
+    )
+
+
+def _subsample2(plane: np.ndarray) -> np.ndarray:
+    """4:2:0 chroma: mean of each 2×2 (edge-padded to even dims), rint."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.float64)
+    m = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+    return np.clip(np.rint(m), 0, 255).astype(np.uint8)
+
+
+def _upsample2(plane: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor 2× replication, cropped to (h, w)."""
+    return np.repeat(np.repeat(plane, 2, axis=0), 2, axis=1)[:h, :w]
+
+
+def _pad_to(plane: np.ndarray, H: int, W: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
 
 
 def _reconstruct(
@@ -164,6 +254,40 @@ def jpeg_reconstruct_gray(arr: np.ndarray) -> np.ndarray:
     return _reconstruct(H, W, blocks)[: a.shape[0], : a.shape[1]]
 
 
+def _write_block(bw: _BitWriter, zz: np.ndarray, dct_t, act_t, prev_dc: int) -> int:
+    """Entropy-encode one zigzag block; returns the new DC predictor."""
+    vals = zz.tolist()
+    diff = vals[0] - prev_dc
+    s = abs(diff).bit_length()
+    bw.write_code(*dct_t[s])
+    if s:
+        bw.write_value(diff, s)
+    run = 0
+    for v in vals[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write_code(*act_t[0xF0])  # ZRL
+            run -= 16
+        s = abs(v).bit_length()
+        bw.write_code(*act_t[(run << 4) | s])
+        bw.write_value(v, s)
+        run = 0
+    if run:
+        bw.write_code(*act_t[0x00])  # EOB
+    return vals[0]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _dqt_body(tid: int, qtab: np.ndarray) -> bytes:
+    qz = qtab.astype(np.int64).reshape(-1)[ZIG]  # DQT stores zigzag order
+    return bytes([tid]) + bytes(int(x) for x in qz)
+
+
 def encode_jpeg_gray(arr: np.ndarray) -> bytes:
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 3:
@@ -177,40 +301,79 @@ def encode_jpeg_gray(arr: np.ndarray) -> bytes:
     bw = _BitWriter()
     prev_dc = 0
     for zz in blocks:
-        vals = zz.tolist()
-        diff = vals[0] - prev_dc
-        prev_dc = vals[0]
-        s = abs(diff).bit_length()
-        bw.write_code(*dct_t[s])
-        if s:
-            bw.write_value(diff, s)
-        run = 0
-        for v in vals[1:]:
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                bw.write_code(*act_t[0xF0])  # ZRL
-                run -= 16
-            s = abs(v).bit_length()
-            bw.write_code(*act_t[(run << 4) | s])
-            bw.write_value(v, s)
-            run = 0
-        if run:
-            bw.write_code(*act_t[0x00])  # EOB
+        prev_dc = _write_block(bw, zz, dct_t, act_t, prev_dc)
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    qz = QTAB.astype(np.int64).reshape(-1)[ZIG]  # DQT stores zigzag order
     out = b"\xff\xd8"  # SOI
-    out += seg(0xFFDB, b"\x00" + bytes(int(x) for x in qz))
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
-    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
-    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += _seg(0xFFDB, _dqt_body(0, QTAB))
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
     out += bw.stuffed_bytes()
     return out + b"\xff\xd9"  # EOI
+
+
+def _color_planes(a: np.ndarray):
+    """RGB → (Y blocks grid dims + blocks, padded Cb/Cr blocks) for 4:2:0;
+    shared by encode_jpeg_color and jpeg_reconstruct_color."""
+    y, cb, cr = _rgb_to_ycbcr(a)
+    cbs, crs = _subsample2(cb), _subsample2(cr)
+    (Hy, Wy), yb = _quantized_blocks(y, QTAB, mult=16)
+    Hc, Wc = Hy // 2, Wy // 2
+    _, cbb = _quantized_blocks(_pad_to(cbs, Hc, Wc), QTAB_C)
+    _, crb = _quantized_blocks(_pad_to(crs, Hc, Wc), QTAB_C)
+    return (Hy, Wy), yb, (Hc, Wc), cbb, crb
+
+
+def encode_jpeg_color(arr: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 → baseline 4:2:0 YCbCr JPEG."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_jpeg_color takes (h, w, 3) RGB")
+    h, w = a.shape[:2]
+    (Hy, Wy), yb, (Hc, Wc), cbb, crb = _color_planes(a)
+    dct_y = _huff_encode_table(DC_BITS, DC_VALS)
+    act_y = _huff_encode_table(AC_BITS, AC_VALS)
+    dct_c = _huff_encode_table(DC_BITS_C, DC_VALS_C)
+    act_c = _huff_encode_table(AC_BITS_C, AC_VALS_C)
+    bw = _BitWriter()
+    dy_, dcb, dcr = 0, 0, 0
+    nbx, ncx = Wy // 8, Wc // 8
+    for my in range(Hy // 16):
+        for mx in range(Wy // 16):
+            for oy, ox in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                dy_ = _write_block(
+                    bw, yb[(2 * my + oy) * nbx + 2 * mx + ox], dct_y, act_y, dy_
+                )
+            dcb = _write_block(bw, cbb[my * ncx + mx], dct_c, act_c, dcb)
+            dcr = _write_block(bw, crb[my * ncx + mx], dct_c, act_c, dcr)
+
+    out = b"\xff\xd8"
+    out += _seg(0xFFDB, _dqt_body(0, QTAB) + _dqt_body(1, QTAB_C))
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    )
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += _seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+    out += _seg(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C))
+    out += _seg(0xFFDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00")
+    out += bw.stuffed_bytes()
+    return out + b"\xff\xd9"
+
+
+def jpeg_reconstruct_color(arr: np.ndarray) -> np.ndarray:
+    """Expected decode(encode_jpeg_color(arr)) — the lossy colorspace →
+    4:2:0 → quantize → IDCT → upsample path without entropy coding."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    (Hy, Wy), yb, (Hc, Wc), cbb, crb = _color_planes(a)
+    yr = _reconstruct(Hy, Wy, yb)[:h, :w]
+    cbr = _reconstruct(Hc, Wc, cbb, qtab=QTAB_C)
+    crr = _reconstruct(Hc, Wc, crb, qtab=QTAB_C)
+    return _ycbcr_to_rgb(yr, _upsample2(cbr, h, w), _upsample2(crr, h, w))
 
 
 class _BitReader:
@@ -261,14 +424,42 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_gray(data: bytes) -> np.ndarray:
-    """→ (h, w, 1) uint8. Baseline grayscale only; else ValueError."""
+def _read_block(br: _BitReader, dc_table, ac_table, prev_dc: int):
+    """Entropy-decode one zigzag block; returns (zz, new_dc)."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = _read_symbol(br, dc_table)
+    diff = _extend(br.read_bits(s), s) if s else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        rs = _read_symbol(br, ac_table)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            i += 16
+            continue
+        i += rs >> 4
+        s = rs & 0x0F
+        if i > 63:
+            raise ValueError("AC index overflow")
+        zz[i] = _extend(br.read_bits(s), s)
+        i += 1
+    return zz, prev_dc
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """→ (h, w, 1) uint8 for grayscale, (h, w, 3) RGB for 4:2:0 color.
+    Baseline single-scan only; anything else raises ValueError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
-    qtab = None
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
     h = w = None
-    dc_table = ac_table = None
+    comps: list[tuple[int, int, int]] = []  # (component id, sampling, qtab id)
+    scan_tables: dict[int, tuple[int, int]] = {}  # cid -> (dc id, ac id)
+    scan_order: list[int] = []
     scan_pos = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -279,17 +470,26 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
         length = struct.unpack(">H", data[pos + 2:pos + 4])[0]
         body = data[pos + 4:pos + 2 + length]
         if marker == 0xDB:
-            if body[0] & 0xF0:
-                raise ValueError("16-bit quant tables unsupported")
-            flat = np.zeros(64, dtype=np.float64)
-            flat[ZIG] = np.frombuffer(body[1:65], dtype=np.uint8)
-            qtab = flat.reshape(8, 8)
+            off = 0
+            while off < len(body):
+                if body[off] & 0xF0:
+                    raise ValueError("16-bit quant tables unsupported")
+                flat = np.zeros(64, dtype=np.float64)
+                flat[ZIG] = np.frombuffer(body[off + 1:off + 65], dtype=np.uint8)
+                qtabs[body[off] & 0x0F] = flat.reshape(8, 8)
+                off += 65
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
-                raise ValueError("only 8-bit grayscale baseline supported")
-            if body[7] != 0x11:
-                raise ValueError("subsampling unsupported")
+            if prec != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component baseline supported")
+            comps = [
+                (body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i])
+                for i in range(ncomp)
+            ]
+            if ncomp == 1 and comps[0][1] != 0x11:
+                raise ValueError("subsampled grayscale unsupported")
+            if ncomp == 3 and [c[1] for c in comps] != [0x22, 0x11, 0x11]:
+                raise ValueError("only 4:2:0 color sampling supported")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xC4:
@@ -299,46 +499,69 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 bits = list(body[off + 1:off + 17])
                 nvals = sum(bits)
                 vals = list(body[off + 17:off + 17 + nvals])
-                table = _huff_decode_table(bits, vals)
-                if tc_th >> 4 == 0:
-                    dc_table = table
-                else:
-                    ac_table = table
+                huff[(tc_th >> 4, tc_th & 0x0F)] = _huff_decode_table(bits, vals)
                 off += 17 + nvals
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:
+            ns = body[0]
+            for i in range(ns):
+                cid, t = body[1 + 2 * i], body[2 + 2 * i]
+                scan_tables[cid] = (t >> 4, t & 0x0F)
+                scan_order.append(cid)
             scan_pos = pos + 2 + length
             break
         pos += 2 + length
-    if qtab is None or h is None or dc_table is None or ac_table is None or scan_pos is None:
+    if not qtabs or h is None or not huff or scan_pos is None or not comps:
         raise ValueError("missing JPEG segments")
+    if [c[0] for c in comps] != scan_order:
+        raise ValueError("scan component order differs from frame order")
+
+    def tables(cid: int):
+        dc_id, ac_id = scan_tables[cid]
+        return huff[(0, dc_id)], huff[(1, ac_id)]
 
     br = _BitReader(data, scan_pos)
-    H, W = -(-h // 8) * 8, -(-w // 8) * 8
-    blocks = []
-    prev_dc = 0
-    for _ in range((H // 8) * (W // 8)):
-        zz = np.zeros(64, dtype=np.int64)
-        s = _read_symbol(br, dc_table)
-        diff = _extend(br.read_bits(s), s) if s else 0
-        prev_dc += diff
-        zz[0] = prev_dc
-        i = 1
-        while i < 64:
-            rs = _read_symbol(br, ac_table)
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                i += 16
-                continue
-            i += rs >> 4
-            s = rs & 0x0F
-            if i > 63:
-                raise ValueError("AC index overflow")
-            zz[i] = _extend(br.read_bits(s), s)
-            i += 1
-        blocks.append(zz)
+    if len(comps) == 1:
+        cid, _, qid = comps[0]
+        dc_t, ac_t = tables(cid)
+        H, W = -(-h // 8) * 8, -(-w // 8) * 8
+        blocks, prev_dc = [], 0
+        for _ in range((H // 8) * (W // 8)):
+            zz, prev_dc = _read_block(br, dc_t, ac_t, prev_dc)
+            blocks.append(zz)
+        return _reconstruct(H, W, blocks, qtab=qtabs[qid])[:h, :w, None]
 
-    out = _reconstruct(H, W, blocks, qtab=qtab)
-    return out[:h, :w, None]
+    # 4:2:0 color: MCU = 4 Y (2×2 raster) + Cb + Cr
+    Hy, Wy = -(-h // 16) * 16, -(-w // 16) * 16
+    Hc, Wc = Hy // 2, Wy // 2
+    nbx, ncx = Wy // 8, Wc // 8
+    yb: list = [None] * ((Hy // 8) * nbx)
+    cbb: list = [None] * ((Hc // 8) * ncx)
+    crb: list = [None] * ((Hc // 8) * ncx)
+    (y_cid, _, y_qid), (cb_cid, _, cb_qid), (cr_cid, _, cr_qid) = comps
+    dc_y, ac_y = tables(y_cid)
+    dc_c1, ac_c1 = tables(cb_cid)
+    dc_c2, ac_c2 = tables(cr_cid)
+    pdy = pdcb = pdcr = 0
+    for my in range(Hy // 16):
+        for mx in range(Wy // 16):
+            for oy, ox in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                zz, pdy = _read_block(br, dc_y, ac_y, pdy)
+                yb[(2 * my + oy) * nbx + 2 * mx + ox] = zz
+            zz, pdcb = _read_block(br, dc_c1, ac_c1, pdcb)
+            cbb[my * ncx + mx] = zz
+            zz, pdcr = _read_block(br, dc_c2, ac_c2, pdcr)
+            crb[my * ncx + mx] = zz
+    yr = _reconstruct(Hy, Wy, yb, qtab=qtabs[y_qid])[:h, :w]
+    cbr = _reconstruct(Hc, Wc, cbb, qtab=qtabs[cb_qid])
+    crr = _reconstruct(Hc, Wc, crb, qtab=qtabs[cr_qid])
+    return _ycbcr_to_rgb(yr, _upsample2(cbr, h, w), _upsample2(crr, h, w))
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Back-compat wrapper: → (h, w, 1); raises on color payloads."""
+    out = decode_jpeg(data)
+    if out.shape[2] != 1:
+        raise ValueError("decode_jpeg_gray called on a color JPEG")
+    return out

@@ -315,9 +315,9 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         if payload[:6] in GIF_MAGICS:
             return decode_gif(bytes(payload))
         if payload[:2] == b"\xff\xd8":
-            from .jpeg import decode_jpeg_gray
+            from .jpeg import decode_jpeg
 
-            return decode_jpeg_gray(bytes(payload))
+            return decode_jpeg(bytes(payload))
     except (ValueError, IndexError, KeyError, struct.error) as exc:
         # magic bytes matched but the payload isn't a well-formed image
         # (e.g. a hash-derived blob that happens to start with \xff\xd8,
@@ -418,7 +418,7 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         base = hashlib.sha256(f"media-{i}".encode()).digest()
         if kind == "image":
             side = 8 + (i % 5) * 4
-            fmt = (i // 3) % 3  # rotate the three REAL formats
+            fmt = (i // 3) % 4  # rotate the four REAL formats
             if fmt == 1:  # GIF (grayscale, lossless)
                 need = side * side
                 g = np.frombuffer(
@@ -433,6 +433,14 @@ def synth_media(spark, n: int = 64) -> DataFrame:
                     (base * (need // len(base) + 1))[:need], dtype=np.uint8
                 ).reshape(side, side)
                 payload = encode_jpeg_gray(g)
+            elif fmt == 3:  # 4:2:0 YCbCr color JPEG (lossy)
+                from .jpeg import encode_jpeg_color
+
+                need = side * side * 3
+                px = np.frombuffer(
+                    (base * (need // len(base) + 1))[:need], dtype=np.uint8
+                ).reshape(side, side, 3)
+                payload = encode_jpeg_color(px)
             else:  # PNG (RGB, lossless)
                 need = side * side * 3
                 px = np.frombuffer(

@@ -303,13 +303,41 @@ def test_jpeg_codec_exact_vs_reconstruction_oracle():
         jpeg.decode_jpeg_gray(b"\xff\xd8\xff\xd9")  # no segments
 
 
-def test_media_three_real_formats(spark):
+def test_jpeg_color_codec_exact_vs_reconstruction_oracle():
+    """4:2:0 YCbCr color (round-3): decode(encode_jpeg_color(x)) must
+    bit-equal jpeg_reconstruct_color(x) — pins the MCU interleave,
+    per-component DC prediction, chroma tables, and the shared
+    colorspace/subsample/upsample helpers."""
+    import numpy as np
+
+    from sparkextract import jpeg
+
+    rng = np.random.default_rng(29)
+    for shape in [(16, 16), (8, 8), (17, 23), (1, 1), (31, 2), (40, 56)]:
+        a = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        got = jpeg.decode_jpeg(jpeg.encode_jpeg_color(a))
+        want = jpeg.jpeg_reconstruct_color(a)
+        assert got.shape == want.shape == (*shape, 3), shape
+        assert (got == want).all(), shape
+    # lossy sanity: a smooth (non-wrapping) gradient survives closely
+    base = np.add.outer(np.arange(48), np.arange(64) * 2).astype(np.uint8)
+    img = np.stack([base, base, base], axis=2)
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg_color(img))
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 12
+    # gray wrapper refuses color payloads
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_gray(jpeg.encode_jpeg_color(img))
+
+
+def test_media_four_real_formats(spark):
     media = multimodal.synth_media(spark, n=24)
     meta = {r.media_id: r.sniffed for r in multimodal.media_metadata(media).collect()}
-    assert meta[0] == "png" and meta[3] == "gif" and meta[6] == "jpeg"
+    # format rotation: png, gif, gray jpeg, color jpeg
+    assert meta[0] == "png" and meta[3] == "gif"
+    assert meta[6] == "jpeg" and meta[9] == "jpeg"
     feats = {r.media_id: r.features
              for r in multimodal.extract_features(media).collect()}
-    # all three real decodes produce FEATURE_DIM histograms summing ~1
-    for mid in (0, 3, 6):
+    # all four real decodes produce FEATURE_DIM histograms summing ~1
+    for mid in (0, 3, 6, 9):
         assert len(feats[mid]) == multimodal.FEATURE_DIM
         assert abs(sum(feats[mid]) - 1.0) < 0.05
