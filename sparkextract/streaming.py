@@ -123,6 +123,23 @@ def conversation_stats_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    stream: DataFrame, prefix: int = 64, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup — the ingest-side analog of
+    ``textops.exact_dedup``: each arriving turn gets the same md5 content
+    key; ``dropDuplicatesWithinWatermark`` emits only the FIRST
+    occurrence of a key, carrying seen-keys in state bounded by the
+    event-time watermark (duplicates arriving within ``watermark`` of the
+    first copy are dropped; the state store never grows unboundedly — the
+    property that matters when the stream is 100 TB/week of crawl).
+    Output: the surviving (deduplicated) rows with their key."""
+    keyed = stream.withColumn(
+        "key", F.md5(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, prefix))
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["key"])
+
+
 def windowed_doc_counts(
     stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

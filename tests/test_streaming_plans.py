@@ -175,3 +175,45 @@ def test_sorted_write_sink(spark, tmp_path):
             seen_convs.add(c)
     golden = oracle.extract_corpus(pdf)
     assert n_rows == len(golden)
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps exactly one row per content
+    key (all synth duplicates share event times within the watermark, so
+    the streaming result's key set equals batch DISTINCT); the plan
+    carries the dedup-within-watermark state node."""
+    from pyspark.sql import functions as F
+
+    from sparkextract.streaming import dedup_stream
+
+    pdf = synth.gen_transcripts(n_convs=8, seed=95)
+    # force duplicates: replicate the frame with shifted turn_idx
+    dup = pdf.copy()
+    dup["turn_idx"] = dup["turn_idx"] + 1000
+    both = __import__("pandas").concat([pdf, dup], ignore_index=True)
+    src = str(tmp_path / "src_dedup")
+    sdf = spark.createDataFrame(both, schema=schema.TRANSCRIPTS)
+    sdf.repartition(3).write.parquet(src)
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    dd = dedup_stream(stream)
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = [r.key for r in spark.sql("SELECT key FROM dedup_out").collect()]
+    assert len(got) == len(set(got))  # one row per key
+    want = {
+        r.key
+        for r in sdf.select(
+            F.md5(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 64)).alias("key")
+        ).distinct().collect()
+    }
+    assert set(got) == want
+    assert len(got) < sdf.count()  # the duplicates were actually dropped
