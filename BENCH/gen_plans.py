@@ -34,6 +34,17 @@ sections = [
      simsearch.cosine_neardup_lsh(docs, emb),
      "Every join is keyed (band/bucket equi-join, then vec_id fetches) - "
      "no BroadcastNestedLoopJoin anywhere, unlike the all-pairs baselines."),
+    ("Multi-probe trained-IVF ANN (nprobe=3)",
+     simsearch.ivf_topk_trained(emb, nprobe=3),
+     "The recall lever: queries fan out to their 3 closest cells via the "
+     "same cell-keyed equi-join; candidate volume is 3n/cells per query, "
+     "never all-pairs. Centroids ride in as broadcasts."),
+    ("End-to-end training-data pipeline (extract -> dedup -> gate -> tokens)",
+     textops.training_corpus(docs),
+     "Composition stays keyed: the extraction aggregation, the LSH "
+     "bucket join inside neardup_clusters (materialized by its driver "
+     "loop), and one representatives join; the quality gate and token "
+     "counts are whole-stage-codegen'd expressions on the join output."),
 ]
 out = ["# PLANS — physical plans of the headline jobs",
        "",
