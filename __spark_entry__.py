@@ -116,6 +116,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "baseline_cosine_neardup_blocked": lambda s, d: simsearch.cosine_neardup_blocked(
             _t(s, d, "embeddings")
         ),
+        # embedding-space blocking: trained-IVF nprobe cells -> exact verify
+        # (the semantic complement to cosine_neardup_lsh's text blocking)
+        "cosine_neardup_ivf": lambda s, d: simsearch.cosine_neardup_ivf(
+            _t(s, d, "embeddings")
+        ),
         "neardup_clusters": lambda s, d: simsearch.neardup_clusters(
             _t(s, d, "documents")
         ),
@@ -544,6 +549,7 @@ SELECT doc_id, n_members FROM (
 """,
         "ann_ivf_topk_trained": simsearch.ivf_topk_trained_sql(),
         "ann_ivf_topk_nprobe": simsearch.ivf_topk_trained_sql(nprobe=3),
+        "cosine_neardup_ivf": simsearch.cosine_neardup_ivf_sql(),
         "pipeline_dedup_extract": rf"""
 WITH extracted AS ({min_slice_sql()}),
 clusters AS ({_NEARDUP_CLUSTERS.strip()}),

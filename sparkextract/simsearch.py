@@ -445,33 +445,27 @@ def neardup_clusters(documents: DataFrame, max_iter: int = 1000) -> DataFrame:
     )
 
 
-def cosine_neardup_lsh(
-    documents: DataFrame, embeddings: DataFrame, threshold: float = 0.35
+def _verify_cosine_pairs(
+    cand: DataFrame, embeddings: DataFrame, threshold: float,
+    a_col: str = "doc_a", b_col: str = "doc_b",
 ) -> DataFrame:
-    """PRODUCTION near-dup path: MinHash-LSH candidate generation over the
-    text column (banded bucket equi-join — no all-pairs anywhere), then
-    exact integer-quantized cosine verification of only the candidates.
-    doc_id and vec_id share the id space (TESTDATA.md). Plan shape: two
-    shuffles for LSH, two equi-joins to fetch the candidate vectors —
-    every join keyed, nothing nested-loop; survives 100 TB where the
-    all-pairs baselines below are O(n²)."""
-    from .textops import lsh_candidate_pairs
-
-    cand = lsh_candidate_pairs(documents)
+    """Exact integer-quantized cosine verification of candidate id pairs:
+    keep cos(a,b) > threshold via dot²·10⁶ > t²·10⁶·|a|²·|b|² (no sqrt,
+    no FP division — engine-portable). Two keyed joins to fetch vectors."""
     base = quantized(embeddings)
     norms = base.select(
         "vec_id", F.col("q").alias("v"), _dot(F.col("q"), F.col("q")).alias("n2")
     )
     t2 = int(round(threshold * threshold * 1_000_000))
     pairs = (
-        cand.join(norms, cand["doc_a"] == norms["vec_id"])
+        cand.join(norms, cand[a_col] == norms["vec_id"])
         .select(
-            F.col("doc_a").alias("a_id"), F.col("doc_b"),
+            F.col(a_col).alias("a_id"), F.col(b_col),
             F.col("v").alias("av"), F.col("n2").alias("an"),
         )
-        .join(norms, F.col("doc_b") == norms["vec_id"])
+        .join(norms, F.col(b_col) == norms["vec_id"])
         .select(
-            "a_id", F.col("doc_b").alias("b_id"), "av", "an",
+            "a_id", F.col(b_col).alias("b_id"), "av", "an",
             F.col("v").alias("bv"), F.col("n2").alias("bn"),
         )
     )
@@ -487,6 +481,111 @@ def cosine_neardup_lsh(
         )
         .select("a_id", "b_id", "dot")
     )
+
+
+def cosine_neardup_lsh(
+    documents: DataFrame, embeddings: DataFrame, threshold: float = 0.35
+) -> DataFrame:
+    """PRODUCTION near-dup path: MinHash-LSH candidate generation over the
+    text column (banded bucket equi-join — no all-pairs anywhere), then
+    exact integer-quantized cosine verification of only the candidates.
+    doc_id and vec_id share the id space (TESTDATA.md). Plan shape: two
+    shuffles for LSH, two equi-joins to fetch the candidate vectors —
+    every join keyed, nothing nested-loop; survives 100 TB where the
+    all-pairs baselines below are O(n²)."""
+    from .textops import lsh_candidate_pairs
+
+    return _verify_cosine_pairs(
+        lsh_candidate_pairs(documents), embeddings, threshold
+    )
+
+
+def cosine_neardup_ivf(
+    embeddings: DataFrame, threshold: float = 0.35,
+    n_cells: int = 8, iters: int = 2, nprobe: int = 2,
+) -> DataFrame:
+    """Embedding-side production near-dup: candidates = pairs sharing any
+    of each vector's ``nprobe`` closest TRAINED IVF cells (cell-keyed
+    self-join — candidate volume ∝ nprobe²·n²/n_cells per cell, never
+    all-pairs), then the same exact quantized-cosine verify. The
+    embedding-space complement to ``cosine_neardup_lsh``'s text-space
+    blocking: this one finds semantic near-dups whose TEXT shares no
+    shingle, as long as their vectors land in a common cell."""
+    base = quantized(embeddings)
+    trained = ivf_train(embeddings, k=n_cells, iters=iters)
+    cents_d = trained.select("cell", "dim", F.col("centroid_sum").alias("s"))
+    counts = trained.select("cell", F.col("n_members").alias("c")).distinct()
+    qd = base.select("vec_id", F.posexplode("q").alias("dim", "val"))
+    scored = (
+        qd.join(F.broadcast(cents_d), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("val") * F.col("s")).alias("cdot"))
+        .join(F.broadcast(counts), "cell")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        (F.col("cdot").cast("double") / F.col("c")).desc(), F.col("cell").asc()
+    )
+    probes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select("vec_id", "cell")
+    )
+    cand = (
+        probes.alias("a").join(probes.alias("b"), "cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_cosine_pairs(cand, embeddings, threshold)
+
+
+def cosine_neardup_ivf_sql(
+    threshold: float = 0.35, n_cells: int = 8, iters: int = 2, nprobe: int = 2
+) -> str:
+    """DuckDB twin of ``cosine_neardup_ivf``: training CTEs + nprobe cell
+    blocking + exact verify."""
+    t2 = float(int(round(threshold * threshold * 1_000_000)))
+    return f"""
+WITH {_ivf_train_cte_body(n_cells, iters)},
+sfin AS (
+  SELECT qd.vec_id, cc.cell, SUM(qd.val * cc.s) AS cdot
+  FROM qd JOIN c{iters} cc USING (dim) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT sfin.vec_id, sfin.cell,
+         ROW_NUMBER() OVER (PARTITION BY sfin.vec_id
+                            ORDER BY CAST(sfin.cdot AS DOUBLE) / nn.c DESC,
+                                     sfin.cell ASC) AS rn
+  FROM sfin JOIN n{iters} nn USING (cell)
+),
+probes AS (SELECT vec_id, cell FROM ranked WHERE rn <= {nprobe}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM probes a JOIN probes b USING (cell)
+  WHERE a.vec_id < b.vec_id
+),
+n AS (
+  SELECT vec_id, qv AS v,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                                      i -> qv[i] * qv[i])) AS BIGINT) AS n2
+  FROM q
+),
+p AS (
+  SELECT c.a_id, c.b_id,
+         CAST(list_sum(list_transform(range(1, len(na.v) + 1),
+                                      i -> na.v[i] * nb.v[i])) AS BIGINT) AS dot,
+         na.n2 AS an, nb.n2 AS bn
+  FROM cand c
+  JOIN n na ON na.vec_id = c.a_id
+  JOIN n nb ON nb.vec_id = c.b_id
+)
+SELECT a_id, b_id, dot FROM p
+WHERE dot > 0
+  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 1000000.0
+      > {t2} * CAST(an AS DOUBLE) * CAST(bn AS DOUBLE)
+"""
 
 
 def dedup_keep_representatives(documents: DataFrame) -> DataFrame:
