@@ -37,6 +37,31 @@ def _formula_recognition_sql() -> str:
     return formula_recognition_sql()
 
 
+def _extract_sql() -> str:
+    from sparkextract.e2e_sql import extract_sql
+
+    return extract_sql()
+
+
+def _canonical_extract(df: DataFrame) -> DataFrame:
+    """Project extracted output to the driver-compare shape: spans_fp is a
+    canonical rendering (integer centi-unit coords/scores, '|' fields,
+    chr(31) between spans) identical to e2e_sql._span_render — Spark's
+    to_json float formatting would not hash-match another engine."""
+    def render(sp):
+        centi = lambda v: (v * 100).cast("bigint")  # noqa: E731
+        return F.concat_ws(
+            "|", sp["type"],
+            centi(sp["x0"]), centi(sp["y0"]), centi(sp["x1"]), centi(sp["y1"]),
+            sp["content"], F.round(sp["score"] * 100).cast("bigint"),
+        )
+
+    return df.select(
+        "conv_id", "turn_idx", "turn_seq", "main_text",
+        F.md5(F.array_join(F.transform("spans", render), "\x1f")).alias("spans_fp"),
+    )
+
+
 def _ocr_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkextract.ocr import ocr_crop_assign
     from sparkextract.parse import parse_detections
@@ -133,21 +158,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dedup_extract": lambda s, d: textops.training_corpus(
             _t(s, d, "documents")
         ),
-        # --- full pipeline (not SQL-expressible → rows-only check; real
-        # verification is tests/test_e2e_golden.py vs tests/oracle.py).
-        # spans_hash pins the spans array content across rounds so the
-        # rows-only record is diffable, not just a row count ---
-        "extract_pipeline": lambda s, d: extract(
-            documents_as_transcripts(_t(s, d, "documents"))
-        ).select(
-            "conv_id", "turn_idx", "turn_seq", "main_text",
-            F.md5(F.to_json("spans")).alias("spans_hash"),
+        # --- full pipeline: FULLY ORACLED as of round 3 (e2e_sql.extract_sql
+        # composes the NMS/OCR/F1 recursive-CTE twins with relational
+        # J1/A2/A3/A4). main_text compared byte-for-byte; spans pinned via
+        # a canonical engine-portable rendering (spans_fp) because Spark's
+        # to_json float formatting is not reproducible elsewhere. The golden
+        # suite (tests/test_e2e_golden.py vs tests/oracle.py vs the ACTUAL
+        # reference fns) remains the primary semantic anchor ---
+        "extract_pipeline": lambda s, d: _canonical_extract(
+            extract(documents_as_transcripts(_t(s, d, "documents")))
         ),
-        "extract_fused": lambda s, d: extract_fused(
-            documents_as_transcripts(_t(s, d, "documents"))
-        ).select(
-            "conv_id", "turn_idx", "turn_seq", "main_text",
-            F.md5(F.to_json("spans")).alias("spans_hash"),
+        "extract_fused": lambda s, d: _canonical_extract(
+            extract_fused(documents_as_transcripts(_t(s, d, "documents")))
         ),
         # per-task APIs (reference scripts/ analogs; OCR merge layer is a
         # sequential fold -> rows-only, pinned to the oracle in
@@ -550,6 +572,10 @@ SELECT doc_id, n_members FROM (
         "ann_ivf_topk_trained": simsearch.ivf_topk_trained_sql(),
         "ann_ivf_topk_nprobe": simsearch.ivf_topk_trained_sql(nprobe=3),
         "cosine_neardup_ivf": simsearch.cosine_neardup_ivf_sql(),
+        # the FULL pipeline twin: both engines (staged + fused) must equal
+        # the same SQL — and each other — byte-for-byte on main_text
+        "extract_pipeline": _extract_sql(),
+        "extract_fused": _extract_sql(),
         "pipeline_dedup_extract": rf"""
 WITH extracted AS ({min_slice_sql()}),
 clusters AS ({_NEARDUP_CLUSTERS.strip()}),

@@ -103,7 +103,7 @@ fx({key_cols}, mode, s, it) AS (
   FROM fx
   WHERE NOT (mode = 1 AND {_F1_STEP} = s)
 ),
-f1_done AS (
+f1_done AS MATERIALIZED (
   SELECT {key_cols}, s AS content FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY {key_cols} ORDER BY it DESC) AS rn
     FROM fx

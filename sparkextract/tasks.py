@@ -200,7 +200,7 @@ seq AS (
                  OVER (PARTITION BY doc_id ORDER BY lidx) AS INT) - 1 AS page_seq
   FROM marked
 ),
-pages AS (
+pages AS MATERIALIZED (
   SELECT doc_id, page_seq,
          CAST(trunc(COALESCE(TRY_CAST(string_split(line, ' ')[2] AS DOUBLE), 0)) AS INT)
            AS page_no,
@@ -261,7 +261,7 @@ surv AS (
          branch, category, score, x0, y0, x1, y1, content
   FROM conf WHERE branch = 2
 ),
-ordered AS (
+ordered AS MATERIALIZED (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, page_seq
                                     ORDER BY branch, score DESC, det_idx) - 1
                  AS INT) AS det_order
@@ -356,26 +356,35 @@ def ocr_spans_sql() -> str:
     MAX(det_order)+1 over branch<2). Model rows enter in F6/F7-converted
     form (trunc/round), raws raw — mirroring parse.py:159-160.
     """
+    return f"""{detections_sql_cte()},
+{ocr_spans_cte_chain()}
+SELECT conv_id, turn_idx, page_seq, page_no, page_w, page_h, det_idx,
+       det_order, branch, category, score, x0, y0, x1, y1, content
+FROM ocr_out
+"""
+
+
+def ocr_spans_cte_chain() -> str:
+    """The OCR merge chain as splice-able CTEs (assumes the
+    ``detections_sql_cte`` chain — ``ordered``/``pages`` — precedes it).
+    Ends with ``ocr_out``: the emitted text-span rows in DETECTIONS shape
+    plus ``doc_id`` (for composition into the full-pipeline twin)."""
     region_in = ", ".join(f"'{c}'" for c in schema.OCR_REGION_CLASSES)
     pad = float(schema.OCR_PAD)
     drop = float(schema.DROP_SCORE)
     key = "doc_id, page_seq, region_order"
-    # y_overlap_gt(b1, b2) > 0.8 (paddle_ocr.py:81-91; den<=0 guard per DESIGN §3)
+
     def yov(a: str, b: str) -> str:
         den = f"LEAST({a}.y1 - {a}.y0, {b}.y1 - {b}.y0)"
         ov = f"GREATEST(LEAST({a}.y1, {b}.y1) - GREATEST({a}.y0, {b}.y0), 0)"
         return f"(CASE WHEN {den} <= 0 THEN FALSE ELSE {ov} / {den} > 0.8 END)"
 
-    # insertion point for bubble element orig[i+1] into prefix st[1..i]:
-    # largest j where the swap condition FAILS (element stops there), 0 if
-    # it bubbles all the way down
     jmax = (
         "coalesce(list_max(list_filter(range(1, i + 1), "
         "j -> NOT (abs(orig[i + 1].y0 - st[j].y0) < 10 "
         "AND orig[i + 1].x0 < st[j].x0))), 0)"
     )
-    return f"""{detections_sql_cte()},
-rg2 AS (
+    return f"""rg2 AS (
   SELECT doc_id, conv_id, turn_idx, page_seq, det_order AS region_order,
          trunc(x0) AS rx0, trunc(y0) AS ry0, trunc(x1) AS rx1, trunc(y1) AS ry1
   FROM ordered WHERE branch = 0 AND category IN ({region_in})
@@ -519,24 +528,25 @@ agg AS (
    AND m.ccy BETWEEN b.by0 AND b.by1
   GROUP BY 1, 2, 3, 4, 5, 6
   HAVING list_sum(list(m.score ORDER BY m.ccx, m.det_idx)) / COUNT(*) >= {drop}
-)
-SELECT g.conv_id, g.turn_idx, CAST(a.page_seq AS INT) AS page_seq,
-       pg.page_no, pg.page_w, pg.page_h,
-       CAST(-1 AS INT) AS det_idx,
-       CAST(o.off + ROW_NUMBER() OVER (PARTITION BY a.doc_id, a.page_seq
-                                       ORDER BY a.region_order, a.box_ord, a.seg_lo)
-            - 1 AS INT) AS det_order,
-       CAST(2 AS INT) AS branch, 'text' AS category,
-       round(a.rawscore, 2) AS score,
-       a.seg_lo + (g.rx0 - {pad}) AS x0, a.by0 + (g.ry0 - {pad}) AS y0,
-       a.seg_hi + (g.rx0 - {pad}) AS x1, a.by1 + (g.ry0 - {pad}) AS y1,
-       a.content
-FROM agg a
-JOIN rg2 g ON g.doc_id = a.doc_id AND g.page_seq = a.page_seq
-          AND g.region_order = a.region_order
-JOIN offs o ON o.doc_id = a.doc_id AND o.page_seq = a.page_seq
-JOIN pages pg ON pg.doc_id = a.doc_id AND pg.page_seq = a.page_seq
-"""
+),
+ocr_out AS MATERIALIZED (
+  SELECT a.doc_id, g.conv_id, g.turn_idx, CAST(a.page_seq AS INT) AS page_seq,
+         pg.page_no, pg.page_w, pg.page_h,
+         CAST(-1 AS INT) AS det_idx,
+         CAST(o.off + ROW_NUMBER() OVER (PARTITION BY a.doc_id, a.page_seq
+                                         ORDER BY a.region_order, a.box_ord, a.seg_lo)
+              - 1 AS INT) AS det_order,
+         CAST(2 AS INT) AS branch, 'text' AS category,
+         round(a.rawscore, 2) AS score,
+         a.seg_lo + (g.rx0 - {pad}) AS x0, a.by0 + (g.ry0 - {pad}) AS y0,
+         a.seg_hi + (g.rx0 - {pad}) AS x1, a.by1 + (g.ry0 - {pad}) AS y1,
+         a.content
+  FROM agg a
+  JOIN rg2 g ON g.doc_id = a.doc_id AND g.page_seq = a.page_seq
+            AND g.region_order = a.region_order
+  JOIN offs o ON o.doc_id = a.doc_id AND o.page_seq = a.page_seq
+  JOIN pages pg ON pg.doc_id = a.doc_id AND pg.page_seq = a.page_seq
+)"""
 
 
 def layout_detection_lmv3_sql(ignore_catids: tuple[int, ...] = ()) -> str:
