@@ -158,6 +158,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dedup_extract": lambda s, d: textops.training_corpus(
             _t(s, d, "documents")
         ),
+        # benchmark decontamination: corpus docs sharing any 3-gram with
+        # the eval slice (doc_id % 50 == 0) are flagged (GPT-3 app. C rule)
+        "decontaminate": lambda s, d: textops.decontaminate(
+            _t(s, d, "documents").where(F.col("doc_id") % 50 != 0),
+            _t(s, d, "documents").where(F.col("doc_id") % 50 == 0),
+        ),
         # --- full pipeline: FULLY ORACLED as of round 3 (e2e_sql.extract_sql
         # composes the NMS/OCR/F1 recursive-CTE twins with relational
         # J1/A2/A3/A4). main_text compared byte-for-byte; spans pinned via
@@ -572,6 +578,34 @@ SELECT doc_id, n_members FROM (
         "ann_ivf_topk_trained": simsearch.ivf_topk_trained_sql(),
         "ann_ivf_topk_nprobe": simsearch.ivf_topk_trained_sql(nprobe=3),
         "cosine_neardup_ivf": simsearch.cosine_neardup_ivf_sql(),
+        "decontaminate": """
+WITH c0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents WHERE doc_id % 50 <> 0),
+csh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(len(ws) - 1, 1)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+           AS shingle
+  FROM c0 WHERE len(ws) >= 3
+),
+b0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+       FROM documents WHERE doc_id % 50 = 0),
+bsh AS (
+  SELECT DISTINCT
+         unnest(list_transform(range(1, GREATEST(len(ws) - 1, 1)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+           AS shingle
+  FROM b0 WHERE len(ws) >= 3
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_shared_shingles
+  FROM csh JOIN bsh USING (shingle) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(h.n_shared_shingles, 0) AS n_shared_shingles,
+       COALESCE(h.n_shared_shingles, 0) = 0 AS clean
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+""",
         # the FULL pipeline twin: both engines (staged + fused) must equal
         # the same SQL — and each other — byte-for-byte on main_text
         "extract_pipeline": _extract_sql(),

@@ -322,3 +322,33 @@ def training_corpus(documents: DataFrame, min_words: int = 40) -> DataFrame:
         )
         .where(F.col("n_words") >= min_words)
     )
+
+
+def decontaminate(
+    documents: DataFrame, benchmark: DataFrame, k: int = 3
+) -> DataFrame:
+    """Benchmark decontamination — the training-data op every eval-aware
+    pipeline runs before training: flag corpus documents sharing ANY
+    k-gram shingle with a benchmark/eval set (the n-gram overlap rule of
+    GPT-3 appendix C / The Pile). Output: one row per corpus doc —
+    (doc_id, n_shared_shingles, clean).
+
+    Scale shape: the benchmark shingle set is tiny next to a 100 TB
+    corpus → broadcast semi-join against the exploded corpus shingles;
+    the corpus never shuffles beyond its own shingle distinct."""
+    doc_sh = shingles(documents, k)
+    bench_sh = shingles(benchmark, k).select("shingle").distinct()
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
+            (F.coalesce("n_shared_shingles", F.lit(0)) == 0).alias("clean"),
+        )
+    )
