@@ -63,9 +63,13 @@ def run(spark) -> dict:
     transcripts = documents_as_transcripts(big_docs)
     n_turns = transcripts.count()
 
-    def force_once(df) -> float:
+    def force_once(build) -> float:
+        # the timer wraps BUILD + execution: iterative operators
+        # (ivf_train, neardup_clusters) run driver loops and eager
+        # materialization at build time — timing only the final write
+        # would report near-zero for them
         t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
+        build().write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
     timings: dict[str, float] = {}
@@ -73,12 +77,12 @@ def run(spark) -> dict:
 
     def bench(name: str, build) -> None:
         """median of REPEAT runs, fresh DataFrame per run."""
-        runs = [force_once(build()) for _ in range(REPEAT)]
+        runs = [force_once(build) for _ in range(REPEAT)]
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     # warm-up: JVM/codegen/Arrow paths (not reported)
-    force_once(min_slice(docs.limit(50)))
+    force_once(lambda: min_slice(docs.limit(50)))
 
     bench("extract_pipeline", lambda: extract_fused(transcripts))
     bench("extract_staged", lambda: pipeline.extract(transcripts))
