@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "task_formula_recognition": lambda s, d: tasks.formula_recognition(
             documents_as_transcripts(_t(s, d, "documents"))
         ),
+        # M10 table parsing (deterministic StructEqTable stand-in)
+        "task_table_parsing": lambda s, d: tasks.table_parsing(
+            documents_as_transcripts(_t(s, d, "documents"))
+        ),
     }
 
 
@@ -696,6 +700,7 @@ WHERE dot > 0
         "task_formula_detection": tasks.formula_detection_sql(),
         "task_visualization": viz.visualize_svg_sql(),
         "task_ocr_crop_assign": tasks.ocr_crop_assign_sql(),
+        "task_table_parsing": tasks.table_parsing_sql(),
         # FULL M9 OCR merge layer: bubble pass as a list-state recursive
         # CTE, line merge + mask split relationally (tasks.ocr_spans_sql)
         "task_ocr_spans": tasks.ocr_spans_sql(),

@@ -34,6 +34,7 @@ PAYLOAD_TEMPLATE: list[list] = [
     ["@det text|0.84|120|380|1380|408|", ("sub", 301, 150)],
     ["@det figure_caption|0.9|100|500|700|560|"],
     ["@det figure_caption|0.88|600|500|1100|560|"],
+    ["@det table|0.91|100|600|1000|900|r1c1 & r1c2"],
     ["@det abandon|0.7|100|2200|800|2260|"],
     ["@det text|0.9|110|2210|700|2250|footer ", ("id",)],
     ["@det figure|0.2|0|0|10|10|junk"],

@@ -151,6 +151,28 @@ def table_parsing(
     return dets.withColumn("table_source", rendered)
 
 
+def table_parsing_sql(output_format: str = "latex") -> str:
+    """DuckDB twin of ``table_parsing`` (M10) over the documents corpus:
+    branch-0 table detections with the per-format rendered source."""
+    if output_format not in TABLE_FORMATS:
+        raise ValueError(f"Output format {output_format!r} is not supported")
+    render = {
+        "latex": "'\\begin{tabular}' || o.content || '\\end{tabular}'",
+        "html": "'<table>' || o.content || '</table>'",
+        "markdown": "'| ' || o.content || ' |'",
+    }[output_format]
+    return f"""{detections_sql_cte()}
+SELECT o.conv_id, o.turn_idx, CAST(o.page_seq AS INT) AS page_seq,
+       pg.page_no, pg.page_w, pg.page_h,
+       o.det_idx, o.det_order, CAST(o.branch AS INT) AS branch, o.category,
+       round(o.score, 2) AS score,
+       trunc(o.x0) AS x0, trunc(o.y0) AS y0, trunc(o.x1) AS x1, trunc(o.y1) AS y1,
+       o.content, {render} AS table_source
+FROM ordered o JOIN pages pg ON pg.doc_id = o.doc_id AND pg.page_seq = o.page_seq
+WHERE o.category = 'table'
+"""
+
+
 def detections_sql_cte() -> str:
     """Shared DuckDB CTE chain reproducing parse.py:_parse_batch over the
     documents corpus: payload tokenization, page/det sequencing, P2
