@@ -111,6 +111,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": lambda s, d: textops.winnow_fingerprints(
             _t(s, d, "documents")
         ),
+        # non-default k exercises the generalized k-gram builder
+        # (round-2 ADVICE: k was silently pinned to 3)
+        "winnow_fingerprints_k4": lambda s, d: textops.winnow_fingerprints(
+            _t(s, d, "documents"), k=4, w=5
+        ),
         # --- similarity search over embeddings ---
         "ann_cosine_topk": lambda s, d: simsearch.ann_topk(_t(s, d, "embeddings")),
         "ann_ivf_topk": lambda s, d: simsearch.ivf_topk(_t(s, d, "embeddings")),
@@ -208,6 +213,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             documents_as_transcripts(_t(s, d, "documents"))
         ),
     }
+
+
+def _winnow_sql(k: int, w: int) -> str:
+    gram = " || ' ' || ".join(f"ws[pos + {j + 1}]" for j in range(k))
+    return f"""
+WITH sh0 AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos, md5({gram}) AS h
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {k - 1})) AS pos
+        FROM sh0 WHERE len(ws) >= {k})
+),
+m AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM m WHERE pos >= {w - 1}
+"""
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -472,24 +498,8 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe_tokens
 FROM documents
 """,
-        "winnow_fingerprints": """
-WITH sh0 AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-),
-g AS (
-  SELECT doc_id, CAST(pos AS INT) AS pos,
-         md5(ws[pos + 1] || ' ' || ws[pos + 2] || ' ' || ws[pos + 3]) AS h
-  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 2)) AS pos
-        FROM sh0 WHERE len(ws) >= 3)
-),
-m AS (
-  SELECT doc_id, pos,
-         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
-  FROM g
-)
-SELECT DISTINCT doc_id, fp FROM m WHERE pos >= 3
-""",
+        "winnow_fingerprints": _winnow_sql(3, 4),
+        "winnow_fingerprints_k4": _winnow_sql(4, 5),
         # weights are 31^i mod 982451653; wv and each product are reduced
         # mod the same prime so nothing exceeds int64 (matches
         # textops.fingerprint — values unchanged vs the non-overflowing form)
