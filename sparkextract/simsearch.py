@@ -387,7 +387,9 @@ def cosine_neardup_blocked(
     )
 
 
-def neardup_clusters(documents: DataFrame, max_iter: int = 1000) -> DataFrame:
+def neardup_clusters(
+    documents: DataFrame, max_iter: int = 1000, pointer_doubling: bool = False
+) -> DataFrame:
     """Near-dup clustering = connected components over the LSH candidate
     graph, by iterative min-label propagation (label = smallest reachable
     doc_id). Driver loop with data-side joins — the iterative-algorithm
@@ -395,7 +397,16 @@ def neardup_clusters(documents: DataFrame, max_iter: int = 1000) -> DataFrame:
     full transitive closure that the DuckDB recursive-CTE twin computes;
     ``max_iter`` is only a runaway guard (one-hop propagation converges in
     ≤ graph-diameter rounds, itself ≤ |V|) and raises if ever hit.
-    localCheckpoint every 8 rounds truncates the growing lineage."""
+    localCheckpoint every 8 rounds truncates the growing lineage.
+
+    ``pointer_doubling=True`` adds a grandparent shortcut per round
+    (node also adopts its label's label) → O(log diameter) rounds — the
+    same fixpoint (a label is always some reachable doc_id). MEASURED
+    before defaulting: on the synthetic corpus near-dup components are
+    shallow (both variants converge in 4 rounds at sf0.1) and the extra
+    labels⋈labels join makes doubling 2-3× slower locally — so it is
+    opt-in, for corpora with deep duplicate chains (mirror farms,
+    versioned scrapes) where diameter-many shuffles would dominate."""
     from .textops import lsh_candidate_pairs
 
     edges = lsh_candidate_pairs(documents).persist()
@@ -409,14 +420,29 @@ def neardup_clusters(documents: DataFrame, max_iter: int = 1000) -> DataFrame:
             .groupBy("a")
             .agg(F.min("cluster").alias("nbr_min"))
         )
-        new = (
-            labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
-            .select(
+        new = labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
+        if pointer_doubling:
+            grand = (
+                labels.alias("l1")
+                .join(labels.alias("l2"), F.col("l1.cluster") == F.col("l2.doc_id"))
+                .select(
+                    F.col("l1.doc_id").alias("g_id"), F.col("l2.cluster").alias("gp")
+                )
+            )
+            new = new.join(grand, labels["doc_id"] == F.col("g_id"), "left").select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce("nbr_min", F.col("cluster")),
+                    F.coalesce("gp", F.col("cluster")),
+                ).alias("cluster"),
+            )
+        else:
+            new = new.select(
                 "doc_id",
                 F.least(F.col("cluster"), F.coalesce("nbr_min", F.col("cluster")))
                 .alias("cluster"),
             )
-        )
         if (it + 1) % 8 == 0:
             new = new.localCheckpoint(eager=False)
         new = new.persist()
