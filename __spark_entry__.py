@@ -71,6 +71,26 @@ def _ocr_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with one deterministic PII token appended per doc (by
+    doc_id mod 3: email / phone / IPv4) — the scrub operator under test
+    is generic; the injection only makes the driver row non-vacuous."""
+    docs = _t(spark, sf_dir, "documents")
+    inj = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit(" call 555-0199 today"))
+        .otherwise(F.lit(" host 10.0.0.7 up"))
+    )
+    return docs.select("doc_id", F.concat("text", inj).alias("text"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001 documents-as-transcripts."""
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
@@ -106,6 +126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": lambda s, d: textops.lang_id_ngram(_t(s, d, "documents")),
         "quality_score": lambda s, d: textops.quality_score(_t(s, d, "documents")),
         "token_count": lambda s, d: textops.token_count(_t(s, d, "documents")),
+        # Gopher-style rules (Rae et al. 2021): quality band + repetition
+        "gopher_quality": lambda s, d: textops.gopher_quality(_t(s, d, "documents")),
+        "repetition_stats": lambda s, d: textops.repetition_stats(
+            _t(s, d, "documents")
+        ),
+        # PII redaction over a deterministically-injected corpus (the synth
+        # documents carry no PII; injection makes the driver row non-vacuous)
+        "pii_scrub": lambda s, d: textops.pii_scrub(_pii_injected(s, d)),
         "doc_fingerprint": lambda s, d: textops.fingerprint(_t(s, d, "documents")),
         # winnowing (SIGMOD'03): w-window minima of k-gram hashes
         "winnow_fingerprints": lambda s, d: textops.winnow_fingerprints(
@@ -497,6 +525,83 @@ SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe_tokens
 FROM documents
+""",
+        # thresholds mirror textops.gopher_quality defaults; the pass flag
+        # compares the UNROUNDED ratios (identical IEEE division of exact
+        # ints on both engines)
+        "gopher_quality": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       ROUND(length(replace(text, ' ', ''))
+             / len(string_split(text, ' ')), 6) AS mean_word_len,
+       CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS INT) AS n_stop_hits,
+       ROUND((length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3)
+             / len(string_split(text, ' ')), 6) AS symbol_ratio,
+       (len(string_split(text, ' ')) BETWEEN 25 AND 100000
+        AND length(replace(text, ' ', '')) / len(string_split(text, ' '))
+            BETWEEN 3.0 AND 10.0
+        AND len(list_filter(string_split(text, ' '),
+                w -> w IN ('the', 'a', 'of', 'and', 'to'))) >= 2
+        AND (length(text) - length(replace(text, '#', ''))
+             + (length(text) - length(replace(text, '...', ''))) / 3)
+            / len(string_split(text, ' ')) < 0.1) AS gopher_pass
+FROM documents
+""",
+        "repetition_stats": """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS c FROM w WHERE word <> ''
+  GROUP BY doc_id, word
+),
+wstat AS (
+  SELECT doc_id, max(c) AS top_word_n, sum(c) AS n_words,
+         count(*) AS n_distinct FROM wc GROUP BY doc_id
+),
+arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(a) - 1),
+                               i -> a[i + 1] || ' ' || a[i + 2])) AS gram
+  FROM arr WHERE len(a) >= 2
+),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+gstat AS (
+  SELECT doc_id, max(c) AS top_2gram_n, sum(c) AS n_2grams
+  FROM gc GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(w.n_words AS INT) AS n_words,
+       ROUND(w.top_word_n / w.n_words, 6) AS top_word_frac,
+       ROUND(1 - w.n_distinct / w.n_words, 6) AS dup_word_frac,
+       ROUND(g.top_2gram_n / g.n_2grams, 6) AS top_2gram_frac
+FROM wstat w LEFT JOIN gstat g USING (doc_id)
+""",
+        # patterns are the Java-regex ∩ RE2 common subset (textops.PII_*);
+        # counts on raw text, replace order email → ip → phone
+        "pii_scrub": r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com now'
+                      WHEN doc_id % 3 = 1 THEN ' call 555-0199 today'
+                      ELSE ' host 10.0.0.7 up' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\b\d{3}[- ]\d{4}\b')) AS INT) AS n_phones,
+  CAST(len(regexp_extract_all(text,
+       '\b\d{1,3}(\.\d{1,3}){3}\b')) AS INT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+      '\b\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS scrubbed
+FROM inj
 """,
         "winnow_fingerprints": _winnow_sql(3, 4),
         "winnow_fingerprints_k4": _winnow_sql(4, 5),

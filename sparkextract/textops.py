@@ -216,6 +216,138 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def gopher_quality(
+    documents: DataFrame,
+    min_words: int = 25,
+    max_words: int = 100000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, appendix A1):
+    word-count bounds, mean word length band, minimum stop-word hits,
+    symbol-to-word ratio ('#' and '...').
+
+    All counts are exact integers; the two ratios are a single int/int
+    division rounded once (engine-portable — see DESIGN.md §5). Pure
+    Catalyst scalar expressions: no explode, no shuffle — at 100 TB this
+    is a map-only pass that fuses into whatever scan precedes it."""
+    ws = F.split("text", " ")
+    n_words = F.size(ws)
+    sum_len = F.length(F.replace("text", F.lit(" "), F.lit("")))
+    n_stop = F.size(F.filter(ws, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    n_hash = F.length("text") - F.length(F.replace("text", F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace("text", F.lit("..."), F.lit("")))
+    ) / 3
+    mean_len = sum_len / n_words
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        n_stop.alias("n_stop_hits"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (mean_len >= min_mean_len)
+            & (mean_len <= max_mean_len)
+            & (n_stop >= min_stop_hits)
+            & (symbol_ratio < 0.1)
+        ).alias("gopher_pass"),
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters: fraction of the doc taken by its
+    most frequent word / 2-gram, and the duplicate-word fraction
+    (1 - distinct/total). High values flag boilerplate and degenerate
+    text for removal before training.
+
+    Shape at scale: explode → one shuffle keyed (doc_id, gram) with
+    map-side combine → one shuffle keyed doc_id. Gram cardinality is
+    bounded by corpus size; no joins, no skew beyond document length
+    (bounded by the upstream length cap)."""
+    w = words(documents).groupBy("doc_id", "word").count()
+    word_stats = w.groupBy("doc_id").agg(
+        F.max("count").alias("top_word_n"),
+        F.sum("count").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+    )
+    ws = F.col("ws")
+    grams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", ws[i], ws[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        documents.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_2gram_n"), F.sum("count").alias("n_2grams"))
+    )
+    return (
+        word_stats.join(g, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("int").alias("n_words"),
+            F.round(F.col("top_word_n") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.round(1 - F.col("n_distinct_words") / F.col("n_words"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("top_2gram_n") / F.col("n_2grams"), 6).alias(
+                "top_2gram_frac"
+            ),
+        )
+    )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround, no backrefs) so the Spark plan and the DuckDB twin compile
+# the same automaton semantics.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[- ]\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII redaction for training corpora: emails, NANP-style short phone
+    numbers, IPv4 addresses → typed placeholder tokens, plus per-doc
+    match counts (counted on the raw text, before any replacement, so
+    the three counts are independent of replacement order).
+
+    Replacement order is email → ip → phone: an IPv4 literal can occur
+    inside an email's domain, so the wider pattern is consumed first.
+    Pure scalar regexp ops — map-only at any scale."""
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(PII_PHONE_RE), 0))
+    n_ips = F.size(F.regexp_extract_all("text", F.lit(PII_IP_RE), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return documents.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
 def winnow_fingerprints(
     documents: DataFrame, k: int = 3, w: int = 4
 ) -> DataFrame:
