@@ -1,13 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` with typed
 metadata (SURVEY graft requirement).
 
-PNG decode is REAL — a pure-stdlib decoder (zlib inflate + PNG filter
-reconstruction, 8-bit gray/RGB/GA/RGBA, the formats reference
-paddle_ocr.py:17-19 ``img_decode``/cv2.imdecode handles for PNG inputs).
-JPEG and audio/video decode need native libs absent in this container, so
-those payloads fall back to a deterministic byte-hash stand-in
-(``fake=True``) or raise. Everything Spark-side — schema, Arrow batch
-shape, mapInPandas signatures, partition behavior — is real and tested.
+Decodes are REAL pure-stdlib paths wherever the format allows: PNG
+(zlib inflate + filter reconstruction), GIF87a (LZW), baseline
+grayscale + 4:2:0 color JPEG (jpeg.py), WAV 16-bit PCM and AVI/MJPEG
+containers (riffav.py) — covering what reference paddle_ocr.py:17-55
+``img_decode``/cv2.imdecode handles for these inputs. Formats with no
+stdlib codec (progressive JPEG, compressed audio, non-MJPEG video)
+fall back to a deterministic byte-hash stand-in (``fake=True``) or
+raise honestly. Everything Spark-side — schema, Arrow batch shape,
+mapInPandas signatures, partition behavior — is real and tested.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -57,6 +60,19 @@ FRAMES = StructType(
         StructField("media_id", LongType()),
         StructField("frame_idx", IntegerType()),
         StructField("frame", BinaryType()),
+    ]
+)
+
+AUDIO_FEATURES = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("zero_crossings", IntegerType()),
     ]
 )
 
@@ -372,10 +388,21 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(gen, schema=FEATURES)
 
 
-def sample_frames(media: DataFrame, every_bytes: int = 256, max_frames: int = 8) -> DataFrame:
-    """video → frame rows (1→N). Deterministic fake "frame sampler":
-    fixed-size byte windows; the 1→N mapInPandas shape matches a real
-    ffmpeg-based sampler."""
+def sample_frames(
+    media: DataFrame,
+    every_bytes: int = 256,
+    max_frames: int = 8,
+    stride: int = 1,
+) -> DataFrame:
+    """video → frame rows (1→N mapInPandas). AVI payloads get a REAL
+    container parse (riffav.parse_avi_frames walks the RIFF chunk tree
+    and collects '00dc' MJPEG frames), sampled every ``stride`` frames
+    up to ``max_frames`` — ``frame`` is the raw JPEG, decodable by
+    ``decode_image``. Non-AVI payloads keep the deterministic
+    fixed-byte-window stand-in (same 1→N shape a real ffmpeg sampler
+    has); malformed AVIs surface ValueError rather than silently
+    degrading to the stand-in."""
+    from .riffav import parse_avi_frames
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in it:
@@ -383,17 +410,60 @@ def sample_frames(media: DataFrame, every_bytes: int = 256, max_frames: int = 8)
             for mid, kind, payload in zip(b["media_id"], b["kind"], b["payload"]):
                 if kind != "video" or payload is None:
                     continue
-                for i in range(min(max_frames, max(1, len(payload) // every_bytes))):
-                    rows.append((int(mid), i, bytes(payload[i * every_bytes:(i + 1) * every_bytes])))
+                if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
+                    _dims, frames = parse_avi_frames(bytes(payload))
+                    for i, fr in list(enumerate(frames))[::stride][:max_frames]:
+                        rows.append((int(mid), i, fr))
+                else:
+                    for i in range(min(max_frames, max(1, len(payload) // every_bytes))):
+                        rows.append((int(mid), i, bytes(payload[i * every_bytes:(i + 1) * every_bytes])))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return media.mapInPandas(gen, schema=FRAMES)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """audio → per-item acoustic features from a REAL WAV decode
+    (riffav.decode_wav: RIFF walk, PCM-16 interpretation): sample rate,
+    channels, duration, RMS, peak, zero-crossing count. Arrow-batched
+    mapInPandas, no per-row Python on the Spark side; rows with
+    non-audio kind or undecodable payloads are dropped (count them via
+    ``media_metadata`` upstream if loss must be observable)."""
+    from .riffav import wav_features
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            rows = []
+            for mid, kind, payload in zip(b["media_id"], b["kind"], b["payload"]):
+                if kind != "audio" or payload is None:
+                    continue
+                try:
+                    f = wav_features(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                rows.append(
+                    (
+                        int(mid), f["sample_rate"], f["n_channels"],
+                        f["n_samples"], f["duration_ms"], f["rms"],
+                        f["peak"], f["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    return media.mapInPandas(gen, schema=AUDIO_FEATURES)
 
 
 def media_metadata(media: DataFrame) -> DataFrame:
     """Pure-Catalyst metadata projection: magic-byte sniff + sizes.
     No UDF — stays in whole-stage codegen."""
     magic = F.hex(F.substring("payload", 1, 4))
+    riff_form = F.hex(F.substring("payload", 9, 4))
     return media.select(
         "media_id",
         "kind",
@@ -402,6 +472,12 @@ def media_metadata(media: DataFrame) -> DataFrame:
         F.when(magic == F.lit("89504E47"), "png")
         .when(magic == F.lit("47494638"), "gif")
         .when(magic.startswith("FFD8"), "jpeg")
+        .when(
+            (magic == F.lit("52494646")) & (riff_form == F.lit("57415645")), "wav"
+        )
+        .when(
+            (magic == F.lit("52494646")) & (riff_form == F.lit("41564920")), "avi"
+        )
         .otherwise("unknown")
         .alias("sniffed"),
         (F.col("meta_w") * F.col("meta_h")).alias("pixels"),
@@ -409,9 +485,13 @@ def media_metadata(media: DataFrame) -> DataFrame:
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table (seeded bytes). Image payloads
-    are VALID PNGs (hash-seeded pixels through encode_png) so the real
-    decoder runs end to end; audio/video stay opaque bytes."""
+    """Deterministic synthetic media table (seeded bytes). Every payload
+    is now a VALID container: images rotate the four real codecs
+    (PNG/GIF/gray-JPEG/color-JPEG), audio is RIFF/WAVE 16-bit PCM from a
+    seeded integer waveform, video is RIFF/AVI with MJPEG frames — so
+    the real decode paths run end to end in tests."""
+    from .riffav import encode_avi_mjpeg, encode_wav_pcm16
+
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -448,8 +528,30 @@ def synth_media(spark, n: int = 64) -> DataFrame:
                 ).reshape(side, side, 3)
                 payload = encode_png(px)
             w = h = side
-        else:
-            payload = (base * (4 + i % 5))[: 128 + (i * 37) % 2048]
+        elif kind == "audio":
+            # seeded integer sawtooth: period and amplitude from the hash
+            n_samp = 400 + (i * 37) % 1200
+            sr = [8000, 16000, 22050][(i // 3) % 3]
+            ch = 1 + (i // 3) % 2
+            seed = int.from_bytes(base[:4], "little")
+            t = np.arange(n_samp, dtype=np.int64)
+            wave = (((t * (seed % 97 + 3)) % 2048) - 1024) * 16
+            s = np.stack([wave >> c for c in range(ch)], axis=1).astype(np.int16)
+            payload = encode_wav_pcm16(s, sr)
             w, h = 64 + i, 48 + i
+        else:  # video: AVI of seeded grayscale MJPEG frames
+            from .jpeg import encode_jpeg_gray
+
+            side = 16
+            frames = []
+            for fidx in range(3 + (i // 3) % 4):
+                need = side * side
+                fb = hashlib.sha256(f"frame-{i}-{fidx}".encode()).digest()
+                g = np.frombuffer(
+                    (fb * (need // len(fb) + 1))[:need], dtype=np.uint8
+                ).reshape(side, side)
+                frames.append(encode_jpeg_gray(g))
+            payload = encode_avi_mjpeg(frames, side, side, fps=10)
+            w = h = side
         rows.append((i, kind, payload, w, h, 1000 * (1 + i % 7)))
     return spark.createDataFrame(rows, MEDIA)

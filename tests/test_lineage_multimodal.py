@@ -279,8 +279,9 @@ def test_frame_sampling_and_metadata(spark):
     assert kinds == vids
     meta = multimodal.media_metadata(media).collect()
     sniffed = {r.media_id: r.sniffed for r in meta}
-    assert sniffed[0] == "png"  # images are now real PNGs
-    assert sniffed[1] == "unknown"  # audio stays opaque bytes
+    assert sniffed[0] == "png"  # images are real PNGs
+    assert sniffed[1] == "wav"  # audio is now a real RIFF/WAVE container
+    assert sniffed[2] == "avi"  # video is now a real RIFF/AVI container
 
 
 def test_jpeg_codec_exact_vs_reconstruction_oracle():

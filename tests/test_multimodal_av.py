@@ -1,0 +1,162 @@
+"""Audio/video container codecs (riffav.py) + their Spark-side operators.
+
+The reference decodes media through cv2/ffmpeg (paddle_ocr.py:17-55);
+here the RIFF containers are parsed directly, so these tests pin (a)
+encode→decode round-trips including hypothesis-driven PCM, (b) honest
+failure on malformed/unsupported payloads, (c) the mapInPandas operators
+over the synthetic media table, and (d) determinism across parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkextract import multimodal
+from sparkextract.jpeg import encode_jpeg_gray
+from sparkextract.riffav import (
+    decode_wav,
+    encode_avi_mjpeg,
+    encode_wav_pcm16,
+    parse_avi_frames,
+    wav_features,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+    st.integers(1, 3),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(vals, ch, sr):
+    n = len(vals) // ch
+    if n == 0:
+        return
+    arr = np.array(vals[: n * ch], dtype=np.int16).reshape(n, ch)
+    sr_out, out = decode_wav(encode_wav_pcm16(arr, sr))
+    assert sr_out == sr
+    assert out.shape == (n, ch)
+    assert (out == arr).all()
+
+
+def test_wav_mono_1d_input():
+    s = (np.arange(100) - 50).astype(np.int16)
+    sr, out = decode_wav(encode_wav_pcm16(s, 8000))
+    assert out.shape == (100, 1) and (out[:, 0] == s).all()
+
+
+def test_wav_malformed_raises():
+    good = encode_wav_pcm16(np.zeros(10, np.int16), 8000)
+    for bad in (b"", b"RIFF", b"RIFF\x10\x00\x00\x00WAVE", good[:30],
+                b"RIFF\x04\x00\x00\x00AVI "):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_wav_non_pcm_raises_not_implemented():
+    good = bytearray(encode_wav_pcm16(np.zeros(10, np.int16), 8000))
+    good[20] = 3  # audio_format = IEEE float
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(good))
+
+
+def test_wav_features_exact():
+    # constant +100 signal: rms == peak == 100, no crossings
+    f = wav_features(encode_wav_pcm16(np.full(800, 100, np.int16), 16000))
+    assert f == {
+        "sample_rate": 16000, "n_channels": 1, "n_samples": 800,
+        "duration_ms": 50.0, "rms": 100.0, "peak": 100,
+        "zero_crossings": 0,
+    }
+    # alternating ±100: a crossing at every step
+    alt = np.tile(np.array([100, -100], np.int16), 400)
+    assert wav_features(encode_wav_pcm16(alt, 8000))["zero_crossings"] == 799
+
+
+def test_avi_roundtrip_and_frame_decode():
+    frames = [
+        encode_jpeg_gray(np.full((16, 16), 40 * i, np.uint8)) for i in range(1, 6)
+    ]
+    dims, out = parse_avi_frames(encode_avi_mjpeg(frames, 16, 16, fps=5))
+    assert dims == (16, 16)
+    assert out == frames
+    img = multimodal.decode_image(out[3])
+    assert img.shape == (16, 16, 1)
+
+
+def test_avi_malformed_and_unsupported():
+    with pytest.raises(ValueError):
+        parse_avi_frames(b"RIFF\x04\x00\x00\x00AVI ")  # no frames
+    with pytest.raises(ValueError):
+        parse_avi_frames(b"not a riff stream at all")
+    frames = [encode_jpeg_gray(np.zeros((8, 8), np.uint8))]
+    avi = encode_avi_mjpeg(frames, 8, 8)
+    with pytest.raises(NotImplementedError):
+        parse_avi_frames(avi.replace(b"vidsMJPG", b"vidsH264", 1))
+
+
+def test_audio_features_operator(spark):
+    media = multimodal.synth_media(spark, n=30)
+    rows = multimodal.audio_features(media).collect()
+    audio_ids = [r.media_id for r in media.collect() if r.kind == "audio"]
+    assert sorted(r.media_id for r in rows) == sorted(audio_ids)
+    by_id = {r.media_id: r for r in rows}
+    # recompute one row by hand from the payload
+    payload = {r.media_id: r.payload for r in media.collect()}[1]
+    want = wav_features(bytes(payload))
+    got = by_id[1]
+    assert got.sample_rate == want["sample_rate"]
+    assert got.n_samples == want["n_samples"]
+    assert got.rms == pytest.approx(want["rms"])
+    assert got.zero_crossings == want["zero_crossings"]
+
+
+def test_sample_frames_real_avi(spark):
+    media = multimodal.synth_media(spark, n=30)
+    frames = multimodal.sample_frames(media).collect()
+    video_rows = {r.media_id: r for r in media.collect() if r.kind == "video"}
+    got_ids = {r.media_id for r in frames}
+    assert got_ids == set(video_rows)
+    # each emitted frame is the exact JPEG stored in the container
+    for mid, row in video_rows.items():
+        _dims, want = parse_avi_frames(bytes(row.payload))
+        got = sorted(
+            ((r.frame_idx, bytes(r.frame)) for r in frames if r.media_id == mid)
+        )
+        assert got == list(enumerate(want))
+        # and it decodes to the synth frame size
+        assert multimodal.decode_image(got[0][1]).shape == (16, 16, 1)
+
+
+def test_sample_frames_stride_and_cap(spark):
+    media = multimodal.synth_media(spark, n=30)
+    capped = multimodal.sample_frames(media, stride=2, max_frames=2).collect()
+    per_id = {}
+    for r in capped:
+        per_id.setdefault(r.media_id, []).append(r.frame_idx)
+    assert all(sorted(v) in ([0], [0, 2]) for v in per_id.values())
+    assert all(len(v) <= 2 for v in per_id.values())
+
+
+def test_media_metadata_sniffs_riff(spark):
+    media = multimodal.synth_media(spark, n=12)
+    sniffed = {r.media_id: r.sniffed for r in multimodal.media_metadata(media).collect()}
+    kinds = {r.media_id: r.kind for r in media.collect()}
+    for mid, kind in kinds.items():
+        if kind == "audio":
+            assert sniffed[mid] == "wav"
+        elif kind == "video":
+            assert sniffed[mid] == "avi"
+        else:
+            assert sniffed[mid] in ("png", "gif", "jpeg")
+
+
+def test_audio_features_parallelism_invariant(spark):
+    media = multimodal.synth_media(spark, n=24)
+    a = multimodal.audio_features(media.repartition(1)).collect()
+    b = multimodal.audio_features(media.repartition(7)).collect()
+    key = lambda r: r.media_id  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
