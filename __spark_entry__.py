@@ -186,6 +186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": lambda s, d: simsearch.dedup_keep_representatives(
             _t(s, d, "documents")
         ),
+        # SemDedup (Abbas+23): embedding-space dedup — IVF-blocked cosine
+        # pairs -> connected components -> one representative per cluster
+        "semdedup": lambda s, d: simsearch.semdedup(_t(s, d, "embeddings")),
         # END-TO-END training-data path: extraction -> near-dup dedup ->
         # quality gate -> token accounting, text pinned by md5
         "pipeline_dedup_extract": lambda s, d: textops.training_corpus(
@@ -697,6 +700,7 @@ SELECT doc_id, n_members FROM (
         "ann_ivf_topk_trained": simsearch.ivf_topk_trained_sql(),
         "ann_ivf_topk_nprobe": simsearch.ivf_topk_trained_sql(nprobe=3),
         "cosine_neardup_ivf": simsearch.cosine_neardup_ivf_sql(),
+        "semdedup": simsearch.semdedup_sql(),
         "decontaminate": """
 WITH c0 AS (SELECT doc_id, string_split(text, ' ') AS ws
             FROM documents WHERE doc_id % 50 <> 0),

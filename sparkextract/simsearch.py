@@ -391,11 +391,31 @@ def neardup_clusters(
     documents: DataFrame, max_iter: int = 1000, pointer_doubling: bool = False
 ) -> DataFrame:
     """Near-dup clustering = connected components over the LSH candidate
-    graph, by iterative min-label propagation (label = smallest reachable
-    doc_id). Driver loop with data-side joins — the iterative-algorithm
-    pattern. Iterates to CONVERGENCE (changed == 0) so labels equal the
-    full transitive closure that the DuckDB recursive-CTE twin computes;
-    ``max_iter`` is only a runaway guard (one-hop propagation converges in
+    graph — see ``_propagate_min_labels`` for the propagation contract
+    (convergence, pointer doubling, checkpointing)."""
+    from .textops import lsh_candidate_pairs
+
+    return _propagate_min_labels(
+        documents.select("doc_id"),
+        lsh_candidate_pairs(documents).select("doc_a", "doc_b"),
+        max_iter=max_iter,
+        pointer_doubling=pointer_doubling,
+    )
+
+
+def _propagate_min_labels(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 1000,
+    pointer_doubling: bool = False,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation (label =
+    smallest reachable doc_id). ``nodes`` has one ``doc_id`` column;
+    ``pairs`` carries undirected edges (doc_a, doc_b). Driver loop with
+    data-side joins — the iterative-algorithm pattern. Iterates to
+    CONVERGENCE (changed == 0) so labels equal the full transitive
+    closure that the DuckDB recursive-CTE twins compute; ``max_iter`` is
+    only a runaway guard (one-hop propagation converges in
     ≤ graph-diameter rounds, itself ≤ |V|) and raises if ever hit.
     localCheckpoint every 8 rounds truncates the growing lineage.
 
@@ -407,13 +427,11 @@ def neardup_clusters(
     labels⋈labels join makes doubling 2-3× slower locally — so it is
     opt-in, for corpora with deep duplicate chains (mirror farms,
     versioned scrapes) where diameter-many shuffles would dominate."""
-    from .textops import lsh_candidate_pairs
-
-    edges = lsh_candidate_pairs(documents).persist()
+    edges = pairs.persist()
     sym = edges.selectExpr("doc_a as a", "doc_b as b").unionByName(
         edges.selectExpr("doc_b as a", "doc_a as b")
     ).persist()
-    labels = documents.select("doc_id", F.col("doc_id").alias("cluster")).persist()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster")).persist()
     for it in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["doc_id"])
@@ -466,7 +484,7 @@ def neardup_clusters(
     edges.unpersist()
     labels.unpersist()
     raise RuntimeError(
-        f"neardup_clusters did not converge in {max_iter} rounds — "
+        f"min-label propagation did not converge in {max_iter} rounds — "
         "graph diameter exceeds the runaway guard; raise max_iter"
     )
 
@@ -627,6 +645,68 @@ def dedup_keep_representatives(documents: DataFrame) -> DataFrame:
         .join(sizes, "cluster")
         .select("doc_id", "n_members")
     )
+
+
+def semdedup(
+    embeddings: DataFrame, threshold: float = 0.35,
+    n_cells: int = 8, iters: int = 2, nprobe: int = 2,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): deduplicate in
+    EMBEDDING space — semantic duplicates whose text shares no shingle
+    still collapse. Composes the production pieces end to end:
+    trained-IVF cell blocking → exact quantized-cosine verify
+    (``cosine_neardup_ivf``) → connected components
+    (``_propagate_min_labels``) → one representative (min id) per
+    semantic cluster with its size. Every stage is a keyed join or a
+    bounded driver loop; nothing all-pairs, so the composition survives
+    the same 100 TB argument as its parts (SCALE.md)."""
+    pairs = cosine_neardup_ivf(
+        embeddings, threshold=threshold, n_cells=n_cells, iters=iters, nprobe=nprobe
+    ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    # materialize the (small) verified edge set: the IVF probe self-join +
+    # verify plan would otherwise be embedded 2× per propagation round
+    # (symmetric union), compounding the logical plan past what the
+    # driver can even stringify
+    pairs = pairs.localCheckpoint(eager=True)
+    labels = _propagate_min_labels(
+        embeddings.select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        labels.where(F.col("doc_id") == F.col("cluster"))
+        .join(sizes, "cluster")
+        .select("doc_id", "n_members")
+    )
+
+
+def semdedup_sql(
+    threshold: float = 0.35, n_cells: int = 8, iters: int = 2, nprobe: int = 2
+) -> str:
+    """DuckDB twin of ``semdedup``: the cosine_neardup_ivf query as a
+    MATERIALIZED pairs CTE (it is referenced twice by the symmetric edge
+    expansion — DuckDB would inline it per reference, re-running IVF
+    training each time; see DESIGN.md §5), then a recursive-CTE
+    transitive closure and the min-label group-by."""
+    inner = cosine_neardup_ivf_sql(
+        threshold=threshold, n_cells=n_cells, iters=iters, nprobe=nprobe
+    ).strip()
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a_id, b_id FROM ({inner}) t
+),
+e AS (
+  SELECT a_id AS a, b_id AS bb FROM pairs
+  UNION ALL SELECT b_id AS a, a_id AS bb FROM pairs
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.src, e.bb FROM reach r JOIN e ON r.dst = e.a
+),
+labels AS (SELECT src AS node, MIN(dst) AS cluster FROM reach GROUP BY src)
+SELECT l.cluster AS doc_id, COUNT(*) AS n_members
+FROM labels l GROUP BY l.cluster
+"""
 
 
 def cosine_neardup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
