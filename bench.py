@@ -96,6 +96,9 @@ def run(spark) -> dict:
     bench("winnow_fingerprints", lambda: textops.winnow_fingerprints(big_docs))
     bench("simhash_neardup", lambda: textops.simhash_neardup(docs))
     bench("ngram_jaccard", lambda: textops.ngram_jaccard_pairs(docs))
+    bench("gopher_quality", lambda: textops.gopher_quality(big_docs))
+    bench("repetition_stats", lambda: textops.repetition_stats(big_docs))
+    bench("pii_scrub", lambda: textops.pii_scrub(big_docs))
     bench("ann_cosine_topk", lambda: simsearch.ann_topk(t("embeddings")))
     bench("ann_ivf_topk", lambda: simsearch.ivf_topk(t("embeddings")))
     bench("ann_ivf_train", lambda: simsearch.ivf_train(t("embeddings")))
@@ -112,6 +115,7 @@ def run(spark) -> dict:
         lambda: simsearch.cosine_neardup_lsh(docs, t("embeddings"), threshold=0.05),
     )
     bench("neardup_clusters", lambda: simsearch.neardup_clusters(t("documents")))
+    bench("semdedup", lambda: simsearch.semdedup(t("embeddings")))
     bench("o5_interval_union", lambda: relops.interval_union(t("orders")))
     bench("j1_first_wins", lambda: relops.first_wins_fill(t("lineitem")))
 

@@ -23,11 +23,18 @@ snapshot-id read); (b) TIME TRAVEL — data files are laid out under
 old one's files, ``read_snapshot`` resolves a pinned (or the latest)
 snapshot through the lineage manifest with partition pruning doing the
 file selection, and ``snapshot_log`` is the history table (snapshot,
-committed_at range, buckets, row counts). What is NOT: no catalog, no
-manifest-file format, no sorted writes, no partition evolution, no
-retention/expire-snapshots GC. The write path is isolated below so an
-Iceberg writer can be swapped in where the runtime jar exists
-(``spark.sql.catalog.*`` conf + ``writeTo(...).append()``).
+committed_at range, buckets, row counts); (c) RETENTION —
+``expire_snapshots`` drops all but the newest N snapshots: their data
+directories are deleted and their manifest rows rewritten out, after
+which a pinned read of an expired id raises (Iceberg
+``expireSnapshots`` semantics). What is NOT: no catalog, no
+manifest-file format, no sorted writes, no partition evolution, and the
+manifest rewrite in ``expire_snapshots`` is a directory swap rather
+than an atomic catalog commit (a crash mid-swap needs the ``_tmp``
+directory recovered by hand — exactly the gap a real catalog closes).
+The write path is isolated below so an Iceberg writer can be swapped in
+where the runtime jar exists (``spark.sql.catalog.*`` conf +
+``writeTo(...).append()``).
 
 rows_in / rows_out are computed with ``DataFrame.observe`` — metrics
 collected as a side effect of the ONE write action (a per-bucket
@@ -144,6 +151,46 @@ def read_snapshot(
     return data.where(
         (F.col("snapshot") == snapshot) & F.col("bucket").isin(committed)
     )
+
+
+def expire_snapshots(
+    spark: SparkSession, out_dir: str, keep_last: int = 1
+) -> dict:
+    """Retention GC (Iceberg ``expireSnapshots`` analog): keep the newest
+    ``keep_last`` snapshots (by first commit time, the ``snapshot_log``
+    order), delete every older snapshot's ``data/snapshot=<id>``
+    directory, and rewrite the manifest without their rows. Retained
+    snapshots' reads are untouched; ``read_snapshot`` of an expired id
+    raises ValueError afterwards.
+
+    The manifest rewrite is write-new → swap — NOT an atomic catalog
+    commit (see module docstring). Metadata-sized driver work only; the
+    data deletes are O(#expired snapshot directories)."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    log = snapshot_log(spark, out_dir).collect()  # oldest → newest
+    expired = [r.snapshot for r in log[:-keep_last]]
+    if not expired:
+        return {"expired": [], "kept": [r.snapshot for r in log]}
+    lin_path = os.path.join(out_dir, LINEAGE_DIR)
+    tmp_path = lin_path + "_tmp"
+    retained = spark.read.parquet(lin_path).where(
+        ~F.col("input_snapshot").isin(expired)
+    )
+    retained.write.mode("overwrite").parquet(tmp_path)
+    # data first: an expired snapshot with its manifest rows still present
+    # fails loudly on read (missing files) rather than silently serving a
+    # half-deleted snapshot
+    for snap in expired:
+        shutil.rmtree(
+            os.path.join(out_dir, DATA_DIR, f"snapshot={snap}"),
+            ignore_errors=True,
+        )
+    shutil.rmtree(lin_path)
+    os.rename(tmp_path, lin_path)
+    return {"expired": expired, "kept": [r.snapshot for r in log[-keep_last:]]}
 
 
 def run_with_lineage(

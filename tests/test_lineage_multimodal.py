@@ -156,6 +156,52 @@ def test_lineage_time_travel(spark, tmp_path):
         read_snapshot(spark, out, "no-such-snapshot")
 
 
+def test_expire_snapshots(spark, tmp_path):
+    """Retention GC: expiring all but the newest snapshot removes the old
+    data directory and manifest rows; the retained snapshot still reads
+    exactly, the expired id raises (Iceberg expireSnapshots analog)."""
+    import os
+
+    from sparkextract.lineage import (
+        expire_snapshots,
+        read_snapshot,
+        snapshot_log,
+    )
+
+    src_dir, out = str(tmp_path / "src"), str(tmp_path / "out")
+    sids = []
+    for n_convs, seed in ((5, 61), (7, 62), (9, 63)):
+        pdf = synth.gen_transcripts(n_convs=n_convs, seed=seed)
+        spark.createDataFrame(pdf, schema=schema.TRANSCRIPTS).coalesce(1) \
+            .write.mode("overwrite").parquet(src_dir)
+        sdf = spark.read.parquet(src_dir)
+        sids.append(snapshot_id(sdf))
+        run_with_lineage(spark, sdf, out, buckets=4)
+    want_latest = {
+        (r.conv_id, r.turn_idx): r.main_text
+        for r in read_snapshot(spark, out).collect()
+    }
+
+    res = expire_snapshots(spark, out, keep_last=1)
+    assert res["expired"] == sids[:2] and res["kept"] == sids[2:]
+    # data dirs of expired snapshots are gone, retained one remains
+    for sid in sids[:2]:
+        assert not os.path.exists(f"{out}/data/snapshot={sid}")
+        with pytest.raises(ValueError):
+            read_snapshot(spark, out, sid)
+    got = {
+        (r.conv_id, r.turn_idx): r.main_text
+        for r in read_snapshot(spark, out, sids[2]).collect()
+    }
+    assert got == want_latest
+    log = snapshot_log(spark, out).collect()
+    assert [r.snapshot for r in log] == [sids[2]]
+    # idempotent: nothing left to expire
+    assert expire_snapshots(spark, out, keep_last=1)["expired"] == []
+    with pytest.raises(ValueError):
+        expire_snapshots(spark, out, keep_last=0)
+
+
 def test_media_features_deterministic(spark):
     media = multimodal.synth_media(spark, n=30)
     rows = multimodal.extract_features(media).collect()
