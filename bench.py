@@ -115,7 +115,7 @@ def run(spark) -> dict:
         lambda: simsearch.cosine_neardup_lsh(docs, t("embeddings"), threshold=0.05),
     )
     bench("neardup_clusters", lambda: simsearch.neardup_clusters(t("documents")))
-    bench("semdedup", lambda: simsearch.semdedup(t("embeddings")))
+    bench("semdedup", lambda: simsearch.semdedup(t("embeddings"), n_cells="auto"))
     bench("o5_interval_union", lambda: relops.interval_union(t("orders")))
     bench("j1_first_wins", lambda: relops.first_wins_fill(t("lineitem")))
 

@@ -422,16 +422,20 @@ def _propagate_min_labels(
     ``pointer_doubling=True`` adds a grandparent shortcut per round
     (node also adopts its label's label) → O(log diameter) rounds — the
     same fixpoint (a label is always some reachable doc_id). MEASURED
-    before defaulting: on the synthetic corpus near-dup components are
-    shallow (both variants converge in 4 rounds at sf0.1) and the extra
-    labels⋈labels join makes doubling 2-3× slower locally — so it is
-    opt-in, for corpora with deep duplicate chains (mirror farms,
-    versioned scrapes) where diameter-many shuffles would dominate."""
+    before defaulting (re-measured after the per-round-checkpoint fix
+    below): on the synthetic corpus near-dup components are shallow —
+    BOTH variants converge in 4 rounds at sf0.1 and run within noise of
+    each other (3.1 s vs 2.5 s text graph; 4.6 s vs 4.4 s embedding
+    graph) — so doubling buys nothing here and stays opt-in, for corpora
+    with deep duplicate chains (mirror farms, versioned scrapes) where
+    diameter-many rounds would dominate."""
     edges = pairs.persist()
     sym = edges.selectExpr("doc_a as a", "doc_b as b").unionByName(
         edges.selectExpr("doc_b as a", "doc_a as b")
     ).persist()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster")).persist()
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("cluster")
+    ).localCheckpoint(eager=True)
     for it in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["doc_id"])
@@ -461,28 +465,31 @@ def _propagate_min_labels(
                 F.least(F.col("cluster"), F.coalesce("nbr_min", F.col("cluster")))
                 .alias("cluster"),
             )
-        if (it + 1) % 8 == 0:
-            new = new.localCheckpoint(eager=False)
-        new = new.persist()
+        # eager checkpoint EVERY round: each round's label table must be
+        # materialized anyway (the convergence count below), and cutting
+        # the lineage here keeps every plan the driver touches
+        # round-sized. The previous lazy every-8-rounds variant let the
+        # logical plan grow geometrically (the labels subtree is embedded
+        # 2× per round, 3× with doubling) — at round ~8 the driver OOM'd
+        # just STRINGIFYING the plan for AQE's explain hook, and each
+        # `changed` count re-analyzed the whole history (~80 s for a
+        # 2000-node graph; ~1 s/round after this change). Superseded
+        # checkpoint blocks are freed by the ContextCleaner as each
+        # round's DataFrame goes unreferenced.
+        new = new.localCheckpoint(eager=True)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "doc_id")
             .where(F.col("n.cluster") != F.col("o.cluster"))
             .count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
-            # truncate lineage + free every intermediate cache block
-            # (edges/sym/labels) before handing the result out
-            out = labels.localCheckpoint(eager=True)
-            labels.unpersist()
             sym.unpersist()
             edges.unpersist()
-            return out
+            return labels
     sym.unpersist()
     edges.unpersist()
-    labels.unpersist()
     raise RuntimeError(
         f"min-label propagation did not converge in {max_iter} rounds — "
         "graph diameter exceeds the runaway guard; raise max_iter"
@@ -649,7 +656,7 @@ def dedup_keep_representatives(documents: DataFrame) -> DataFrame:
 
 def semdedup(
     embeddings: DataFrame, threshold: float = 0.35,
-    n_cells: int = 8, iters: int = 2, nprobe: int = 2,
+    n_cells: int | str = 8, iters: int = 2, nprobe: int = 2,
 ) -> DataFrame:
     """SemDedup (Abbas et al. 2023, arXiv:2303.09540): deduplicate in
     EMBEDDING space — semantic duplicates whose text shares no shingle
@@ -659,7 +666,17 @@ def semdedup(
     (``_propagate_min_labels``) → one representative (min id) per
     semantic cluster with its size. Every stage is a keyed join or a
     bounded driver loop; nothing all-pairs, so the composition survives
-    the same 100 TB argument as its parts (SCALE.md)."""
+    the same 100 TB argument as its parts (SCALE.md).
+
+    ``n_cells`` should grow ~√n (candidate volume ∝ n²·nprobe²/cells, so
+    √n cells keeps per-cell work linear): pass ``"auto"`` to derive it
+    from one count of the corpus (√n rounded to a power of two, min 8 —
+    measured at sf0.1/2000 vecs: 21.1 s at 8 cells → 12.5 s at 32). The
+    default stays a FIXED 8 so the DuckDB twin (``semdedup_sql``), whose
+    training CTEs are unrolled for a constant k, stays byte-comparable."""
+    if n_cells == "auto":
+        n = embeddings.count()
+        n_cells = max(8, 1 << (int(n).bit_length() // 2))
     pairs = cosine_neardup_ivf(
         embeddings, threshold=threshold, n_cells=n_cells, iters=iters, nprobe=nprobe
     ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
