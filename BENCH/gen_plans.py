@@ -39,6 +39,21 @@ sections = [
      "The recall lever: queries fan out to their 3 closest cells via the "
      "same cell-keyed equi-join; candidate volume is 3n/cells per query, "
      "never all-pairs. Centroids ride in as broadcasts."),
+    ("Gopher quality gate + PII scrub fused on one scan (map-only)",
+     textops.pii_scrub(
+         docs.where(textops._gopher_pass_col()).select("doc_id", "text")
+     ),
+     "Both text filters are pure scalar regexp/length expressions: the "
+     "gopher_pass predicate and the scrub projection fuse into ONE "
+     "Project+Filter over the parquet scan with zero exchanges - at "
+     "100 TB this pass is bandwidth-bound, never shuffle-bound."),
+    ("Repetition stats (Gopher repetition filters)",
+     textops.repetition_stats(docs),
+     "Two keyed exchanges per branch, both map-side combinable: "
+     "(doc_id, gram) counts then per-doc max/sum; the word/2-gram "
+     "branches join on doc_id (broadcast here, same-key sort-merge at "
+     "scale - both sides are already doc_id-aggregated and tiny "
+     "relative to the corpus)."),
     ("End-to-end training-data pipeline (extract -> dedup -> gate -> tokens)",
      textops.training_corpus(docs),
      "Composition stays keyed: the extraction aggregation, the LSH "

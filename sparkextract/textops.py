@@ -219,6 +219,45 @@ def token_count(documents: DataFrame) -> DataFrame:
 GOPHER_STOPWORDS = ("the", "a", "of", "and", "to")
 
 
+def _gopher_exprs():
+    """The Gopher rule ingredients as Catalyst Columns over a ``text``
+    column — reusable so the pass predicate can fuse onto any scan
+    without going through the stats projection."""
+    ws = F.split("text", " ")
+    n_words = F.size(ws)
+    sum_len = F.length(F.replace("text", F.lit(" "), F.lit("")))
+    n_stop = F.size(F.filter(ws, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    n_hash = F.length("text") - F.length(F.replace("text", F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace("text", F.lit("..."), F.lit("")))
+    ) / 3
+    return {
+        "n_words": n_words,
+        "mean_len": sum_len / n_words,
+        "n_stop": n_stop,
+        "symbol_ratio": (n_hash + n_ellipsis) / n_words,
+    }
+
+
+def _gopher_pass_col(
+    min_words: int = 25,
+    max_words: int = 100000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stop_hits: int = 2,
+):
+    """The composite gopher_pass predicate as one boolean Column."""
+    e = _gopher_exprs()
+    return (
+        (e["n_words"] >= min_words)
+        & (e["n_words"] <= max_words)
+        & (e["mean_len"] >= min_mean_len)
+        & (e["mean_len"] <= max_mean_len)
+        & (e["n_stop"] >= min_stop_hits)
+        & (e["symbol_ratio"] < 0.1)
+    )
+
+
 def gopher_quality(
     documents: DataFrame,
     min_words: int = 25,
@@ -235,29 +274,15 @@ def gopher_quality(
     division rounded once (engine-portable — see DESIGN.md §5). Pure
     Catalyst scalar expressions: no explode, no shuffle — at 100 TB this
     is a map-only pass that fuses into whatever scan precedes it."""
-    ws = F.split("text", " ")
-    n_words = F.size(ws)
-    sum_len = F.length(F.replace("text", F.lit(" "), F.lit("")))
-    n_stop = F.size(F.filter(ws, lambda x: x.isin(*GOPHER_STOPWORDS)))
-    n_hash = F.length("text") - F.length(F.replace("text", F.lit("#"), F.lit("")))
-    n_ellipsis = (
-        F.length("text") - F.length(F.replace("text", F.lit("..."), F.lit("")))
-    ) / 3
-    mean_len = sum_len / n_words
-    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    e = _gopher_exprs()
     return documents.select(
         "doc_id",
-        n_words.alias("n_words"),
-        F.round(mean_len, 6).alias("mean_word_len"),
-        n_stop.alias("n_stop_hits"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
-        (
-            (n_words >= min_words)
-            & (n_words <= max_words)
-            & (mean_len >= min_mean_len)
-            & (mean_len <= max_mean_len)
-            & (n_stop >= min_stop_hits)
-            & (symbol_ratio < 0.1)
+        e["n_words"].alias("n_words"),
+        F.round(e["mean_len"], 6).alias("mean_word_len"),
+        e["n_stop"].alias("n_stop_hits"),
+        F.round(e["symbol_ratio"], 6).alias("symbol_ratio"),
+        _gopher_pass_col(
+            min_words, max_words, min_mean_len, max_mean_len, min_stop_hits
         ).alias("gopher_pass"),
     )
 
