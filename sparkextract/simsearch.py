@@ -239,6 +239,29 @@ def ivf_recall_report(
     return out
 
 
+def neardup_pair_recall(
+    embeddings: DataFrame, threshold: float = 0.35,
+    n_cells: int = 8, nprobe_grid: tuple[int, ...] = (1, 2, 4),
+) -> dict:
+    """Blocking recall of the IVF near-dup path: fraction of the EXACT
+    above-threshold pairs (all-pairs ``cosine_neardup`` ground truth,
+    test-scale only) that the cell-blocked candidate generation
+    surfaces. Precision is 1.0 by construction — candidates pass the
+    same exact verify — so recall is the whole quality story: a pair is
+    missed iff its two vectors share none of their nprobe cells.
+    Returns {nprobe: recall}."""
+    exact = cosine_neardup(embeddings, threshold).select("a_id", "b_id")
+    n_exact = exact.count()
+    out: dict[int, float] = {}
+    for p in nprobe_grid:
+        approx = cosine_neardup_ivf(
+            embeddings, threshold=threshold, n_cells=n_cells, nprobe=p
+        ).select("a_id", "b_id")
+        hit = approx.join(exact, ["a_id", "b_id"]).count()
+        out[p] = round(hit / n_exact, 4) if n_exact else 1.0
+    return out
+
+
 def ivf_topk_trained_sql(
     k: int = 5, query_mod: int = 10, n_cells: int = 8, iters: int = 2,
     nprobe: int = 1,
