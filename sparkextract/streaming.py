@@ -140,6 +140,21 @@ def dedup_stream(
     return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["key"])
 
 
+def quality_scrub_stream(doc_stream: DataFrame) -> DataFrame:
+    """Stateless text-filter chain on a DOCUMENT stream: Gopher quality
+    gate → PII scrub, the exact same Catalyst expressions as batch
+    (``textops._gopher_pass_col`` / ``textops.pii_scrub``). Map-only
+    operators need no watermark, no state, and no foreachBatch — they
+    run unchanged under Structured Streaming, which is the point: the
+    ingest-side filter IS the batch filter, so batch backfill and live
+    ingest cannot drift."""
+    from .textops import _gopher_pass_col, pii_scrub
+
+    return pii_scrub(
+        doc_stream.where(_gopher_pass_col()).select("doc_id", "text")
+    )
+
+
 def windowed_doc_counts(
     stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

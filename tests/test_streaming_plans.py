@@ -217,3 +217,44 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     }
     assert set(got) == want
     assert len(got) < sdf.count()  # the duplicates were actually dropped
+
+
+def test_quality_scrub_stream_matches_batch(spark, tmp_path):
+    """Stateless text filters under streaming: gopher gate + PII scrub on
+    a document stream must equal the batch composition row for row (one
+    filter definition, two arrival modes)."""
+    from sparkextract.streaming import quality_scrub_stream
+    from sparkextract.textops import _gopher_pass_col, pii_scrub
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "src_docs")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        quality_scrub_stream(stream)
+        .writeStream.format("memory")
+        .queryName("scrubbed_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scrub"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.doc_id: (r.n_emails, r.n_phones, r.n_ips, r.scrubbed)
+        for r in spark.sql("SELECT * FROM scrubbed_docs").collect()
+    }
+    want = {
+        r.doc_id: (r.n_emails, r.n_phones, r.n_ips, r.scrubbed)
+        for r in pii_scrub(
+            docs.where(_gopher_pass_col()).select("doc_id", "text")
+        ).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < docs.count()  # the gate actually filtered
