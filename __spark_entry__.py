@@ -189,6 +189,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SemDedup (Abbas+23): embedding-space dedup — IVF-blocked cosine
         # pairs -> connected components -> one representative per cluster
         "semdedup": lambda s, d: simsearch.semdedup(_t(s, d, "embeddings")),
+        # the composed modern pipeline: gopher gate -> PII scrub ->
+        # semantic dedup -> exact dedup -> tokens (PII-injected corpus so
+        # the scrub stage is non-vacuous)
+        "training_corpus_v2": lambda s, d: simsearch.training_corpus_v2(
+            _pii_injected(s, d), _t(s, d, "embeddings")
+        ),
         # END-TO-END training-data path: extraction -> near-dup dedup ->
         # quality gate -> token accounting, text pinned by md5
         "pipeline_dedup_extract": lambda s, d: textops.training_corpus(
@@ -339,6 +345,17 @@ reach(src, dst) AS (
 SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
 """
 )
+
+
+# SQL twin of _pii_injected (yields doc_id, text) — shared by the
+# pii_scrub and training_corpus_v2 oracles
+_PII_INJ_CTE = """SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com now'
+                      WHEN doc_id % 3 = 1 THEN ' call 555-0199 today'
+                      ELSE ' host 10.0.0.7 up' END AS text
+  FROM documents"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -584,16 +601,7 @@ FROM wstat w LEFT JOIN gstat g USING (doc_id)
 """,
         # patterns are the Java-regex ∩ RE2 common subset (textops.PII_*);
         # counts on raw text, replace order email → ip → phone
-        "pii_scrub": r"""
-WITH inj AS (
-  SELECT doc_id,
-         text || CASE WHEN doc_id % 3 = 0
-                      THEN ' reach user' || CAST(doc_id AS VARCHAR)
-                           || '@example.com now'
-                      WHEN doc_id % 3 = 1 THEN ' call 555-0199 today'
-                      ELSE ' host 10.0.0.7 up' END AS text
-  FROM documents
-)
+        "pii_scrub": "\nWITH inj AS (\n  " + _PII_INJ_CTE + "\n)" + r"""
 SELECT doc_id,
   CAST(len(regexp_extract_all(text,
        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
@@ -701,6 +709,9 @@ SELECT doc_id, n_members FROM (
         "ann_ivf_topk_nprobe": simsearch.ivf_topk_trained_sql(nprobe=3),
         "cosine_neardup_ivf": simsearch.cosine_neardup_ivf_sql(),
         "semdedup": simsearch.semdedup_sql(),
+        "training_corpus_v2": simsearch.training_corpus_v2_sql(
+            source_cte=_PII_INJ_CTE
+        ),
         "decontaminate": """
 WITH c0 AS (SELECT doc_id, string_split(text, ' ') AS ws
             FROM documents WHERE doc_id % 50 <> 0),

@@ -719,19 +719,19 @@ def semdedup(
     )
 
 
-def semdedup_sql(
+def _semdedup_cte_body(
     threshold: float = 0.35, n_cells: int = 8, iters: int = 2, nprobe: int = 2
 ) -> str:
-    """DuckDB twin of ``semdedup``: the cosine_neardup_ivf query as a
-    MATERIALIZED pairs CTE (it is referenced twice by the symmetric edge
-    expansion — DuckDB would inline it per reference, re-running IVF
-    training each time; see DESIGN.md §5), then a recursive-CTE
-    transitive closure and the min-label group-by."""
+    """The semdedup CTE chain (requires a ``WITH RECURSIVE`` prefix):
+    cosine_neardup_ivf as a MATERIALIZED pairs CTE (it is referenced
+    twice by the symmetric edge expansion — DuckDB would inline it per
+    reference, re-running IVF training each time; see DESIGN.md §5),
+    then a recursive transitive closure and the min-label group-by.
+    Final CTE: ``sem_reps(doc_id, n_members)``."""
     inner = cosine_neardup_ivf_sql(
         threshold=threshold, n_cells=n_cells, iters=iters, nprobe=nprobe
     ).strip()
-    return f"""
-WITH RECURSIVE pairs AS MATERIALIZED (
+    return f"""pairs AS MATERIALIZED (
   SELECT a_id, b_id FROM ({inner}) t
 ),
 e AS (
@@ -743,9 +743,90 @@ reach(src, dst) AS (
   UNION
   SELECT r.src, e.bb FROM reach r JOIN e ON r.dst = e.a
 ),
-labels AS (SELECT src AS node, MIN(dst) AS cluster FROM reach GROUP BY src)
-SELECT l.cluster AS doc_id, COUNT(*) AS n_members
-FROM labels l GROUP BY l.cluster
+labels AS (SELECT src AS node, MIN(dst) AS cluster FROM reach GROUP BY src),
+sem_reps AS (
+  SELECT l.cluster AS doc_id, COUNT(*) AS n_members
+  FROM labels l GROUP BY l.cluster
+)"""
+
+
+def semdedup_sql(
+    threshold: float = 0.35, n_cells: int = 8, iters: int = 2, nprobe: int = 2
+) -> str:
+    """DuckDB twin of ``semdedup`` — see ``_semdedup_cte_body``."""
+    body = _semdedup_cte_body(threshold, n_cells, iters, nprobe)
+    return f"""
+WITH RECURSIVE {body}
+SELECT doc_id, n_members FROM sem_reps
+"""
+
+
+def training_corpus_v2(
+    documents: DataFrame, embeddings: DataFrame, threshold: float = 0.35,
+    n_cells: int = 8, iters: int = 2, nprobe: int = 2,
+) -> DataFrame:
+    """The modern LLM training-data pipeline composed end to end, every
+    stage individually hash-green: Gopher quality gate (map-only) →
+    PII scrub (map-only) → SEMANTIC dedup (keep only semdedup
+    representatives) → exact dedup on the scrubbed text (md5 groupBy,
+    keeper = min doc_id) → token accounting. Returns one row per
+    surviving document: (doc_id, n_tokens, n_members, text_fp).
+
+    Plan shape at 100 TB: two fused scalar passes, the semdedup keyed
+    joins + bounded driver loop, one md5-keyed shuffle, two doc_id
+    equi-joins — nothing all-pairs, nothing per-row Python."""
+    from .textops import _gopher_pass_col, pii_scrub
+
+    gated = documents.where(_gopher_pass_col())
+    scrubbed = pii_scrub(gated).select("doc_id", "scrubbed")
+    reps = semdedup(embeddings, threshold, n_cells, iters, nprobe)
+    sem = scrubbed.join(reps, "doc_id")
+    keep = sem.groupBy(F.md5("scrubbed").alias("text_fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return keep.join(sem, "doc_id").select(
+        "doc_id",
+        F.size(F.split("scrubbed", " ")).alias("n_tokens"),
+        "n_members",
+        "text_fp",
+    )
+
+
+def training_corpus_v2_sql(
+    threshold: float = 0.35, n_cells: int = 8, iters: int = 2,
+    nprobe: int = 2, source_cte: str | None = None,
+) -> str:
+    """DuckDB twin of ``training_corpus_v2``. ``source_cte`` optionally
+    replaces the documents source (e.g. the PII-injected corpus the
+    driver query uses) — it must yield (doc_id, text)."""
+    from .textops import gopher_pass_sql, pii_scrub_sql_expr
+
+    body = _semdedup_cte_body(threshold, n_cells, iters, nprobe)
+    src = "documents"
+    src_cte = ""
+    if source_cte is not None:
+        src = "src_docs"
+        src_cte = f"src_docs AS ({source_cte}),\n"
+    return f"""
+WITH RECURSIVE {src_cte}{body},
+gated AS (
+  SELECT doc_id, text FROM {src} WHERE {gopher_pass_sql("text")}
+),
+scrub AS (
+  SELECT doc_id, {pii_scrub_sql_expr("text")} AS scrubbed FROM gated
+),
+sem AS (
+  SELECT s.doc_id, s.scrubbed, r.n_members
+  FROM scrub s JOIN sem_reps r USING (doc_id)
+),
+keep AS (
+  SELECT md5(scrubbed) AS text_fp, MIN(doc_id) AS doc_id
+  FROM sem GROUP BY 1
+)
+SELECT k.doc_id,
+       CAST(len(string_split(s.scrubbed, ' ')) AS INT) AS n_tokens,
+       s.n_members, k.text_fp
+FROM keep k JOIN sem s ON s.doc_id = k.doc_id
 """
 
 

@@ -258,6 +258,30 @@ def _gopher_pass_col(
     )
 
 
+def gopher_pass_sql(col: str = "text") -> str:
+    """The gopher_pass predicate as DuckDB SQL (twin of
+    ``_gopher_pass_col`` with default thresholds) — for composing the
+    gate into larger oracle queries."""
+    w = f"len(string_split({col}, ' '))"
+    return f"""({w} BETWEEN 25 AND 100000
+  AND length(replace({col}, ' ', '')) / {w} BETWEEN 3.0 AND 10.0
+  AND len(list_filter(string_split({col}, ' '),
+          w -> w IN ('the', 'a', 'of', 'and', 'to'))) >= 2
+  AND (length({col}) - length(replace({col}, '#', ''))
+       + (length({col}) - length(replace({col}, '...', ''))) / 3) / {w} < 0.1)"""
+
+
+def pii_scrub_sql_expr(col: str = "text") -> str:
+    """The scrubbed-text expression as DuckDB SQL (twin of the
+    replacement chain in ``pii_scrub``: email → ip → phone)."""
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({col}, "
+        r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        r"'\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'), "
+        r"'\b\d{3}[- ]\d{4}\b', '<PHONE>', 'g')"
+    )
+
+
 def gopher_quality(
     documents: DataFrame,
     min_words: int = 25,
