@@ -16,10 +16,13 @@ huffman/bitstream/MCU layer. The decode path and the oracle share every
 numeric helper, so equality is structural, not luck. Reference analog:
 paddle_ocr.py:17-19 ``img_decode``/cv2.imdecode.
 
-Scope: 8-bit baseline DCT, single scan, no restart markers; gray (1
-component, no subsampling) or color (3 components, fixed 4:2:0).
-Progressive / other samplings raise ValueError (decode_image falls
-back)."""
+Scope: 8-bit DCT, no restart markers; baseline single-scan gray (1
+component, no subsampling) or color (3 components, fixed 4:2:0), plus
+PROGRESSIVE (SOF2) grayscale — full spectral-selection +
+successive-approximation scan decoding (EOBn runs, ZRL, correction
+bits; T.81 Annex G) and a 4-scan progressive encoder, pinned to the
+same ``jpeg_reconstruct_gray`` exactness oracle. Color progressive /
+other samplings raise ValueError (decode_image falls back)."""
 
 from __future__ import annotations
 
@@ -490,7 +493,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("subsampled grayscale unsupported")
             if ncomp == 3 and [c[1] for c in comps] != [0x22, 0x11, 0x11]:
                 raise ValueError("only 4:2:0 color sampling supported")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:
+            return _decode_progressive_gray(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xC4:
             off = 0
@@ -565,3 +570,315 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     if out.shape[2] != 1:
         raise ValueError("decode_jpeg_gray called on a color JPEG")
     return out
+
+
+# ---------------------------------------------------------------------
+# Progressive mode (SOF2, T.81 Annex G) — grayscale scope.
+#
+# Progressive re-packages the SAME quantized coefficients as baseline
+# into spectral-selection + successive-approximation scans, so once all
+# scans are decoded the result must equal jpeg_reconstruct_gray
+# bit-for-bit — the same exactness oracle the baseline codec carries.
+# Scan script used by the encoder (the common 4-scan progression):
+#   1. DC first       (Ss=0, Se=0,  Ah=0, Al=1)  huffman-coded diffs of dc>>1
+#   2. DC refinement  (Ss=0, Se=0,  Ah=1, Al=0)  one raw bit/block (dc & 1)
+#   3. AC first       (Ss=1, Se=63, Ah=0, Al=1)  RLE over sign·(|v|>>1)
+#   4. AC refinement  (Ss=1, Se=63, Ah=1, Al=0)  G.1.2.3 correction bits
+# The decoder handles the general grayscale case (any spectral bands,
+# EOBn run lengths, multiple refinements); color progressive raises.
+
+
+def _ac_shift(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (T.81 G.1.2.1)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _write_ac_first(bw: _BitWriter, shifted: list[int], act) -> None:
+    """AC-first scan for one block over already point-transformed coefs
+    (EOB emitted as EOB0 — an EOB run of exactly one block)."""
+    run = 0
+    for v in shifted:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write_code(*act[0xF0])
+            run -= 16
+        s = abs(v).bit_length()
+        bw.write_code(*act[(run << 4) | s])
+        bw.write_value(v, s)
+        run = 0
+    if run:
+        bw.write_code(*act[0x00])
+
+
+def _write_ac_refine(bw: _BitWriter, coefs: list[int], act, al: int) -> None:
+    """AC-refinement scan for one block (T.81 G.1.2.3): newly-significant
+    coefficients as (run,1) symbols + sign bit; already-significant ones
+    contribute buffered correction bits appended after the next symbol."""
+    absv = [abs(v) >> al for v in coefs]
+    eob = 0  # index AFTER the last newly-significant coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i + 1
+    run, pending = 0, []
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        # the ZRL check runs before EVERY nonzero coefficient (also the
+        # already-significant ones): the decoder consumes buffered
+        # correction bits inside each symbol's ≤16-zero advance span, so
+        # a correction may never sit more than 15 zeros past the last
+        # emitted symbol
+        while run > 15 and i < eob:
+            bw.write_code(*act[0xF0])
+            for b in pending:
+                bw.write_code(b, 1)
+            pending = []
+            run -= 16
+        if t > 1:  # already significant: one correction bit
+            pending.append(t & 1)
+            continue
+        bw.write_code(*act[(run << 4) | 1])
+        bw.write_code(1 if coefs[i] > 0 else 0, 1)  # sign of the new ±1
+        for b in pending:
+            bw.write_code(b, 1)
+        pending = []
+        run = 0
+    if run or pending:
+        bw.write_code(*act[0x00])  # EOB0
+        for b in pending:
+            bw.write_code(b, 1)
+
+
+def encode_jpeg_gray_progressive(arr: np.ndarray) -> bytes:
+    """Grayscale PROGRESSIVE JPEG (SOF2) with the 4-scan script above.
+    Carries exactly the baseline encoder's quantized coefficients, so
+    ``decode_jpeg`` must reproduce ``jpeg_reconstruct_gray``."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3:
+        if a.shape[2] != 1:
+            raise ValueError("encode_jpeg_gray_progressive takes grayscale")
+        a = a[:, :, 0]
+    h, w = a.shape
+    _, blocks = _quantized_blocks(a)
+    dct_t = _huff_encode_table(DC_BITS, DC_VALS)
+    act_t = _huff_encode_table(AC_BITS, AC_VALS)
+
+    # scan 1: DC first, Al=1
+    bw1, prev = _BitWriter(), 0
+    for zz in blocks:
+        v = int(zz[0]) >> 1
+        diff = v - prev
+        prev = v
+        s = abs(diff).bit_length()
+        bw1.write_code(*dct_t[s])
+        if s:
+            bw1.write_value(diff, s)
+    # scan 2: DC refinement, one raw bit per block
+    bw2 = _BitWriter()
+    for zz in blocks:
+        bw2.write_code(int(zz[0]) & 1, 1)
+    # scan 3: AC first, Al=1
+    bw3 = _BitWriter()
+    for zz in blocks:
+        _write_ac_first(bw3, [_ac_shift(int(v), 1) for v in zz[1:]], act_t)
+    # scan 4: AC refinement, Al 1 → 0
+    bw4 = _BitWriter()
+    for zz in blocks:
+        _write_ac_refine(bw4, [int(v) for v in zz[1:]], act_t, 0)
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return _seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    out = b"\xff\xd8"
+    out += _seg(0xFFDB, _dqt_body(0, QTAB))
+    out += _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += sos(0, 0, 0, 1) + bw1.stuffed_bytes()
+    out += sos(0, 0, 1, 0) + bw2.stuffed_bytes()
+    out += sos(1, 63, 0, 1) + bw3.stuffed_bytes()
+    out += sos(1, 63, 1, 0) + bw4.stuffed_bytes()
+    return out + b"\xff\xd9"
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """First offset ≥ pos of a real (non-stuffed, non-fill) marker."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("unterminated scan")
+
+
+def _scan_dc(
+    coefs: np.ndarray, br: _BitReader, dc_table, ah: int, al: int
+) -> None:
+    if ah == 0:  # first DC scan: huffman diffs of dc >> al
+        prev = 0
+        for i in range(len(coefs)):
+            s = _read_symbol(br, dc_table)
+            prev += _extend(br.read_bits(s), s) if s else 0
+            coefs[i, 0] = prev << al
+    else:  # refinement: one raw bit per block
+        for i in range(len(coefs)):
+            if br.read_bit():
+                coefs[i, 0] |= 1 << al
+
+
+def _scan_ac_first(
+    coefs: np.ndarray, br: _BitReader, ac_table, ss: int, se: int, al: int
+) -> None:
+    """AC first scan (T.81 G.2): RLE symbols + EOBn block-run lengths."""
+    eobrun = 0
+    for bi in range(len(coefs)):
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = _read_symbol(br, ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn: run of 2^r + extra-bits blocks
+                    eobrun = (1 << r) - 1 + (br.read_bits(r) if r else 0)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow in progressive scan")
+            coefs[bi, k] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+
+def _scan_ac_refine(
+    coefs: np.ndarray, br: _BitReader, ac_table, ss: int, se: int, al: int
+) -> None:
+    """AC refinement scan (T.81 G.2 / Annex G decode flowcharts):
+    (run,1) symbols introduce new ±1·2^al coefficients, with one
+    correction bit consumed for every already-nonzero coefficient
+    passed over (including inside ZRL runs and EOB tails)."""
+    eobrun = 0
+
+    def correct(bi: int, k: int) -> None:
+        if br.read_bit():
+            step = (1 << al) if coefs[bi, k] > 0 else -(1 << al)
+            coefs[bi, k] += step
+
+    for bi in range(len(coefs)):
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _read_symbol(br, ac_table)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) + (br.read_bits(r) if r else 0)
+                        break
+                    # ZRL: pass 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("refinement magnitude must be 1")
+                    newval = (1 << al) if br.read_bit() else -(1 << al)
+                # advance past r zero-history coefficients, consuming
+                # correction bits for nonzero ones along the way
+                while k <= se:
+                    if coefs[bi, k] != 0:
+                        correct(bi, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    coefs[bi, k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # EOB tail: correction bits only
+                if coefs[bi, k] != 0:
+                    correct(bi, k)
+                k += 1
+            eobrun -= 1
+
+
+def _decode_progressive_gray(data: bytes) -> np.ndarray:
+    """SOF2 grayscale decoder: accumulate coefficients across all scans,
+    then dequantize + IDCT once. Color progressive raises."""
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = qid = None
+    coefs = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        length = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        body = data[pos + 4:pos + 2 + length]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                if body[off] & 0xF0:
+                    raise ValueError("16-bit quant tables unsupported")
+                flat = np.zeros(64, dtype=np.float64)
+                flat[ZIG] = np.frombuffer(body[off + 1:off + 65], dtype=np.uint8)
+                qtabs[body[off] & 0x0F] = flat.reshape(8, 8)
+                off += 65
+        elif marker == 0xC2:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    "progressive decode implemented for 8-bit grayscale only"
+                )
+            if body[7] != 0x11:
+                raise ValueError("subsampled grayscale unsupported")
+            qid = body[8]
+            nblocks = (-(-h // 8)) * (-(-w // 8))
+            coefs = np.zeros((nblocks, 64), dtype=np.int64)
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1:off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17:off + 17 + nvals])
+                huff[(tc_th >> 4, tc_th & 0x0F)] = _huff_decode_table(bits, vals)
+                off += 17 + nvals
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            if coefs is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component progressive scan unsupported")
+            tbl = body[2]
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 0x0F
+            br = _BitReader(data, pos + 2 + length)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                _scan_dc(coefs, br, huff.get((0, tbl >> 4)), ah, al)
+            elif ah == 0:
+                _scan_ac_first(coefs, br, huff[(1, tbl & 0x0F)], ss, se, al)
+            else:
+                _scan_ac_refine(coefs, br, huff[(1, tbl & 0x0F)], ss, se, al)
+            pos = _next_marker(data, br.pos)
+            continue
+        pos += 2 + length
+    if coefs is None or not qtabs or qid not in qtabs:
+        raise ValueError("missing JPEG segments")
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    # coefficients are stored in NATURAL order during scans (the scan
+    # index IS the zigzag index) — _reconstruct expects zigzag vectors,
+    # which is exactly this layout
+    blocks = [coefs[i] for i in range(len(coefs))]
+    return _reconstruct(H, W, blocks, qtab=qtabs[qid])[:h, :w, None]
+

@@ -2,14 +2,15 @@
 metadata (SURVEY graft requirement).
 
 Decodes are REAL pure-stdlib paths wherever the format allows: PNG
-(zlib inflate + filter reconstruction), GIF87a (LZW), baseline
-grayscale + 4:2:0 color JPEG (jpeg.py), WAV 16-bit PCM and AVI/MJPEG
-containers (riffav.py) — covering what reference paddle_ocr.py:17-55
-``img_decode``/cv2.imdecode handles for these inputs. Formats with no
-stdlib codec (progressive JPEG, compressed audio, non-MJPEG video)
-fall back to a deterministic byte-hash stand-in (``fake=True``) or
-raise honestly. Everything Spark-side — schema, Arrow batch shape,
-mapInPandas signatures, partition behavior — is real and tested.
+(zlib inflate + filter reconstruction), GIF87a (LZW), grayscale JPEG
+(baseline AND progressive/SOF2) + 4:2:0 color JPEG (jpeg.py), WAV
+16-bit PCM and AVI/MJPEG containers (riffav.py) — covering what
+reference paddle_ocr.py:17-55 ``img_decode``/cv2.imdecode handles for
+these inputs. Formats with no stdlib codec (color progressive JPEG,
+compressed audio, non-MJPEG video) fall back to a deterministic
+byte-hash stand-in (``fake=True``) or raise honestly. Everything
+Spark-side — schema, Arrow batch shape, mapInPandas signatures,
+partition behavior — is real and tested.
 """
 
 from __future__ import annotations
@@ -321,10 +322,11 @@ def decode_gif(data: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload. PNG, GIF, and baseline grayscale JPEG →
-    REAL stdlib decodes ((h,w,c) uint8). Anything else (color/progressive
-    JPEG, audio/video) needs native codecs absent here: fake=True → the
-    deterministic byte-hash stand-in, else NotImplementedError."""
+    """Decode an image payload. PNG, GIF, and JPEG (baseline gray +
+    4:2:0 color + progressive gray) → REAL stdlib decodes ((h,w,c)
+    uint8). Anything else (color progressive JPEG, audio/video) needs
+    native codecs absent here: fake=True → the deterministic byte-hash
+    stand-in, else NotImplementedError."""
     try:
         if payload[:8] == PNG_MAGIC:
             return decode_png(bytes(payload))
@@ -498,7 +500,7 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         base = hashlib.sha256(f"media-{i}".encode()).digest()
         if kind == "image":
             side = 8 + (i % 5) * 4
-            fmt = (i // 3) % 4  # rotate the four REAL formats
+            fmt = (i // 3) % 5  # rotate the five REAL formats
             if fmt == 1:  # GIF (grayscale, lossless)
                 need = side * side
                 g = np.frombuffer(
@@ -521,6 +523,14 @@ def synth_media(spark, n: int = 64) -> DataFrame:
                     (base * (need // len(base) + 1))[:need], dtype=np.uint8
                 ).reshape(side, side, 3)
                 payload = encode_jpeg_color(px)
+            elif fmt == 4:  # PROGRESSIVE grayscale JPEG (SOF2, 4 scans)
+                from .jpeg import encode_jpeg_gray_progressive
+
+                need = side * side
+                g = np.frombuffer(
+                    (base * (need // len(base) + 1))[:need], dtype=np.uint8
+                ).reshape(side, side)
+                payload = encode_jpeg_gray_progressive(g)
             else:  # PNG (RGB, lossless)
                 need = side * side * 3
                 px = np.frombuffer(

@@ -388,3 +388,79 @@ def test_media_four_real_formats(spark):
     for mid in (0, 3, 6, 9):
         assert len(feats[mid]) == multimodal.FEATURE_DIM
         assert abs(sum(feats[mid]) - 1.0) < 0.05
+
+
+def test_progressive_jpeg_exact_vs_reconstruction_oracle():
+    """decode(encode_progressive(x)) must equal the SAME
+    quantize/dequantize/IDCT reconstruction oracle as baseline,
+    BIT-FOR-BIT: progressive is a lossless re-packaging of the same
+    quantized coefficients (T.81 Annex G), so completing all four scans
+    restores full precision."""
+    import numpy as np
+
+    from sparkextract import jpeg
+
+    rng = np.random.default_rng(31)
+    for shape in [(8, 8), (16, 24), (7, 5), (1, 1), (33, 41)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = jpeg.decode_jpeg(jpeg.encode_jpeg_gray_progressive(a))[:, :, 0]
+        assert (got == jpeg.jpeg_reconstruct_gray(a)).all(), shape
+    x = np.tile(np.linspace(0, 255, 64).astype(np.uint8), (64, 1))
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg_gray_progressive(x))[:, :, 0]
+    assert (got == jpeg.jpeg_reconstruct_gray(x)).all()
+
+
+def test_progressive_partial_scans_are_coarse_approximation():
+    """Truncating after scan 3 (before AC refinement) must yield the
+    image reconstructed from the POINT-TRANSFORMED coefficients — the
+    'progressive rendering' semantics, checked exactly."""
+    import numpy as np
+
+    from sparkextract import jpeg
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 256, size=(24, 16), dtype=np.uint8)
+    data = jpeg.encode_jpeg_gray_progressive(a)
+    # cut before the 4th SOS, keep EOI
+    sos = [i for i in range(len(data) - 1) if data[i:i + 2] == b"\xff\xda"]
+    assert len(sos) == 4
+    partial = data[: sos[3]] + b"\xff\xd9"
+    got = jpeg.decode_jpeg(partial)[:, :, 0]
+
+    (H, W), blocks = jpeg._quantized_blocks(a)
+    approx = []
+    for zz in blocks:
+        z = zz.copy()
+        # DC fully refined by scan 2; AC carries only the Al=1 level
+        z[1:] = [jpeg._ac_shift(int(v), 1) << 1 for v in z[1:]]
+        approx.append(z)
+    want = jpeg._reconstruct(H, W, approx)[: a.shape[0], : a.shape[1]]
+    assert (got == want).all()
+    # and it differs from the full decode (the refinement scan matters)
+    full = jpeg.decode_jpeg(data)[:, :, 0]
+    assert (got != full).any()
+
+
+def test_progressive_malformed_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkextract import jpeg, multimodal
+
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = jpeg.encode_jpeg_gray_progressive(a)
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(data[:40], fake=False)
+    # color progressive is out of scope and must say so, not garble
+    bad = bytearray(data)
+    with _pytest.raises(ValueError):
+        jpeg._decode_progressive_gray(bytes(bad).replace(b"\xff\xc2\x00\x0b\x08", b"\xff\xc2\x00\x0b\x0c", 1))
+
+
+def test_synth_media_includes_progressive(spark):
+    media = multimodal.synth_media(spark, n=30)
+    rows = {r.media_id: bytes(r.payload) for r in media.collect() if r.kind == "image"}
+    # media 12: i//3 == 4 -> fmt 4 == progressive (SOF2 present)
+    assert b"\xff\xc2" in rows[12]
+    img = multimodal.decode_image(rows[12])
+    assert img.ndim == 3 and img.shape[2] == 1
