@@ -7,7 +7,7 @@ Decodes are REAL pure-stdlib paths wherever the format allows: PNG
 16-bit PCM and AVI/MJPEG containers (riffav.py) — covering what
 reference paddle_ocr.py:17-55 ``img_decode``/cv2.imdecode handles for
 these inputs. Formats with no stdlib codec (color progressive JPEG,
-compressed audio, non-MJPEG video) fall back to a deterministic
+float WAV, non-MJPEG video) fall back to a deterministic
 byte-hash stand-in (``fake=True``) or raise honestly. Everything
 Spark-side — schema, Arrow batch shape, mapInPandas signatures,
 partition behavior — is real and tested.
@@ -539,15 +539,22 @@ def synth_media(spark, n: int = 64) -> DataFrame:
                 payload = encode_png(px)
             w = h = side
         elif kind == "audio":
-            # seeded integer sawtooth: period and amplitude from the hash
+            # seeded integer sawtooth: period and amplitude from the hash;
+            # every 3rd audio item is IMA-ADPCM compressed (mono), the
+            # rest 16-bit PCM (1-2 channels)
+            from .riffav import encode_wav_adpcm
+
             n_samp = 400 + (i * 37) % 1200
             sr = [8000, 16000, 22050][(i // 3) % 3]
-            ch = 1 + (i // 3) % 2
             seed = int.from_bytes(base[:4], "little")
             t = np.arange(n_samp, dtype=np.int64)
             wave = (((t * (seed % 97 + 3)) % 2048) - 1024) * 16
-            s = np.stack([wave >> c for c in range(ch)], axis=1).astype(np.int16)
-            payload = encode_wav_pcm16(s, sr)
+            if (i // 3) % 3 == 2:
+                payload = encode_wav_adpcm(wave.astype(np.int16), sr)
+            else:
+                ch = 1 + (i // 3) % 2
+                s = np.stack([wave >> c for c in range(ch)], axis=1).astype(np.int16)
+                payload = encode_wav_pcm16(s, sr)
             w, h = 64 + i, 48 + i
         else:  # video: AVI of seeded grayscale MJPEG frames
             from .jpeg import encode_jpeg_gray

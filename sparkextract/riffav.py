@@ -10,10 +10,12 @@ chunks. The decoders walk chunks defensively and normalize every parse
 failure to ``ValueError`` so the Spark-side callers (multimodal.py) can
 distinguish "malformed payload" from "format not supported".
 
-Scope is honest: WAV covers PCM format 1, 16-bit, any channel count;
-AVI covers MJPEG ('00dc' frame chunks, decoded by sparkextract.jpeg).
-Compressed WAV (ADPCM/float) and non-MJPEG video raise
-NotImplementedError — there is no stdlib path for those.
+Scope is honest: WAV covers 16-bit PCM (format 1, any channel count)
+AND mono IMA ADPCM (format 0x11, the classic 4-bit compressed WAV —
+full encoder + decoder below); AVI covers MJPEG ('00dc' frame chunks,
+decoded by sparkextract.jpeg). Float/other compressed WAV and
+non-MJPEG video raise NotImplementedError — there is no stdlib path
+for those.
 """
 
 from __future__ import annotations
@@ -63,25 +65,39 @@ def _walk_riff(data: bytes, form: bytes):
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """WAV bytes → (sample_rate, samples) with samples int16 (n, ch).
-    PCM 16-bit only; malformed input → ValueError, compressed WAV →
-    NotImplementedError."""
-    fmt = pcm = None
+    16-bit PCM (format 1) and mono IMA ADPCM (format 0x11, the classic
+    4-bit compressed WAV); malformed input → ValueError, other
+    compressed formats → NotImplementedError."""
+    fmt = pcm = fmt_raw = None
+    n_samples = None
     for tag, payload in _walk_riff(bytes(data), b"WAVE"):
         if tag == b"fmt " and fmt is None:
             if len(payload) < 16:
                 raise ValueError("short fmt chunk")
             fmt = struct.unpack("<HHIIHH", payload[:16])
+            fmt_raw = payload
+        elif tag == b"fact" and len(payload) >= 4:
+            (n_samples,) = struct.unpack("<I", payload[:4])
         elif tag == b"data" and pcm is None:
             pcm = payload
     if fmt is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, ch, sample_rate, _byte_rate, _block_align, bits = fmt
+    audio_format, ch, sample_rate, _byte_rate, block_align, bits = fmt
+    if ch < 1 or sample_rate < 1:
+        raise ValueError("bad fmt fields")
+    if audio_format == 0x11:
+        if bits != 4:
+            raise ValueError("IMA ADPCM must be 4 bits/sample")
+        if len(fmt_raw) < 20:
+            raise ValueError("ADPCM fmt chunk missing samples-per-block")
+        (spb,) = struct.unpack("<H", fmt_raw[18:20])
+        if spb < 1:
+            raise ValueError("bad ADPCM samples-per-block")
+        return sample_rate, _decode_adpcm(pcm, ch, block_align, spb, n_samples)
     if audio_format != 1:
         raise NotImplementedError(f"WAV format {audio_format} (non-PCM)")
     if bits != 16:
         raise NotImplementedError(f"{bits}-bit WAV (only 16-bit PCM)")
-    if ch < 1 or sample_rate < 1:
-        raise ValueError("bad fmt fields")
     usable = len(pcm) - len(pcm) % (2 * ch)
     samples = np.frombuffer(pcm[:usable], dtype="<i2").reshape(-1, ch)
     return sample_rate, samples
@@ -104,6 +120,123 @@ def wav_features(data: bytes) -> dict:
         "peak": int(np.abs(mono).max(initial=0)),
         "zero_crossings": int((signs < 0).sum()),
     }
+
+
+# ------------------------------------------------- IMA ADPCM (fmt 0x11)
+# The classic 4-bit compressed-audio WAV format (IMA/DVI ADPCM, public
+# spec; WAV tag 0x11): per-block header carries (predictor, step index),
+# then one nibble per sample. Lossy 4:1 compression — the exactness
+# anchor is that ENCODER and DECODER share the reconstruction arithmetic
+# (the encoder tracks the decoder's state), so decode(encode(x)) is
+# deterministic and its error is bounded by the step table.
+
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_reconstruct(pred: int, idx: int, delta: int) -> tuple[int, int]:
+    """One IMA step: (predictor, index) + 4-bit code → new state."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if delta & 4:
+        diff += step
+    if delta & 2:
+        diff += step >> 1
+    if delta & 1:
+        diff += step >> 2
+    pred = pred - diff if delta & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[delta & 7]))
+    return pred, idx
+
+
+def _ima_encode_sample(pred: int, idx: int, sample: int) -> tuple[int, int, int]:
+    """Quantize one sample against the decoder state → (code, pred, idx)."""
+    step = _IMA_STEPS[idx]
+    diff = sample - pred
+    code = 8 if diff < 0 else 0
+    diff = abs(diff)
+    for bit in (4, 2, 1):
+        if diff >= step:
+            code |= bit
+            diff -= step
+        step >>= 1
+    pred, idx = _ima_reconstruct(pred, idx, code)
+    return code, pred, idx
+
+
+ADPCM_SAMPLES_PER_BLOCK = 505  # → block_align 256 (4-byte header + 252)
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Mono int16 samples → IMA-ADPCM WAV (format 0x11, 4 bits/sample)."""
+    s = np.asarray(samples, dtype=np.int16).reshape(-1)
+    if len(s) == 0:
+        raise ValueError("need at least one sample")
+    spb = ADPCM_SAMPLES_PER_BLOCK
+    block_align = 4 + (spb - 1) // 2
+    blocks, pred, idx = [], 0, 0
+    vals = s.astype(np.int64).tolist()
+    for start in range(0, len(vals), spb):
+        chunk = vals[start:start + spb]
+        pred = int(chunk[0])
+        blk = struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for v in chunk[1:]:
+            code, pred, idx = _ima_encode_sample(pred, idx, int(v))
+            nibbles.append(code)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        blk += bytes(
+            (nibbles[i] | (nibbles[i + 1] << 4)) for i in range(0, len(nibbles), 2)
+        )
+        blocks.append(blk.ljust(block_align, b"\x00"))
+    data = b"".join(blocks)
+    byte_rate = sample_rate * block_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(s))
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_adpcm(
+    pcm: bytes, ch: int, block_align: int, spb: int, n_samples: int | None
+) -> np.ndarray:
+    if ch != 1:
+        raise NotImplementedError("multi-channel IMA ADPCM not supported")
+    if block_align < 5:
+        raise ValueError("bad ADPCM block align")
+    out: list[int] = []
+    for start in range(0, len(pcm) - block_align + 1, block_align):
+        blk = pcm[start:start + block_align]
+        pred, idx, _r = struct.unpack("<hBB", blk[:4])
+        if idx > 88:
+            raise ValueError("bad ADPCM step index")
+        out.append(pred)
+        produced = 1
+        for b in blk[4:]:
+            for code in (b & 0x0F, b >> 4):
+                if produced >= spb:
+                    break
+                pred, idx = _ima_reconstruct(pred, idx, code)
+                out.append(pred)
+                produced += 1
+    if n_samples is not None:
+        out = out[:n_samples]
+    return np.asarray(out, dtype=np.int16)[:, None]
 
 
 # ---------------------------------------------------------------- AVI

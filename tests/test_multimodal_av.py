@@ -160,3 +160,55 @@ def test_audio_features_parallelism_invariant(spark):
     b = multimodal.audio_features(media.repartition(7)).collect()
     key = lambda r: r.media_id  # noqa: E731
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_adpcm_roundtrip_bounded_error():
+    """IMA ADPCM (WAV fmt 0x11) is lossy; decode(encode(x)) must be
+    deterministic, length-exact, exact at block starts (the header
+    carries the raw predictor), and within step-table-bounded error on
+    smooth signals."""
+    t = np.arange(2500)
+    sig = (8000 * np.sin(t / 20)).astype(np.int16)
+    from sparkextract.riffav import ADPCM_SAMPLES_PER_BLOCK, encode_wav_adpcm
+
+    data = encode_wav_adpcm(sig, 16000)
+    assert data == encode_wav_adpcm(sig, 16000)  # deterministic
+    sr, out = decode_wav(data)
+    assert sr == 16000 and out.shape == (len(sig), 1)
+    err = np.abs(out[:, 0].astype(np.int64) - sig.astype(np.int64))
+    for b in range(0, len(sig), ADPCM_SAMPLES_PER_BLOCK):
+        assert err[b] == 0  # block-start samples are stored raw
+    assert err.max() < 2000 and float(err.mean()) < 100
+
+
+def test_adpcm_malformed_and_unsupported():
+    from sparkextract import riffav
+
+    sig = np.zeros(600, np.int16)
+    good = bytearray(riffav.encode_wav_adpcm(sig, 8000))
+    # corrupt the step index in the first block header
+    data_off = bytes(good).index(b"data") + 8
+    bad = bytearray(good)
+    bad[data_off + 2] = 120  # step index > 88
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        # multi-channel ADPCM is out of scope
+        riffav._decode_adpcm(b"\x00" * 256, 2, 256, 505, None)
+
+
+def test_synth_media_includes_adpcm(spark):
+    from sparkextract import multimodal
+
+    media = multimodal.synth_media(spark, n=30)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect() if r.kind == "audio"}
+    import struct as _struct
+
+    fmts = set()
+    for p in payloads.values():
+        off = p.index(b"fmt ") + 8
+        fmts.add(_struct.unpack("<H", p[off:off + 2])[0])
+    assert fmts == {0x01, 0x11}  # both PCM and ADPCM payloads present
+    # and audio_features decodes every one (no drops)
+    rows = multimodal.audio_features(media).collect()
+    assert sorted(r.media_id for r in rows) == sorted(payloads)
