@@ -7,7 +7,7 @@ Decodes are REAL pure-stdlib paths wherever the format allows: PNG
 16-bit PCM and AVI/MJPEG containers (riffav.py) — covering what
 reference paddle_ocr.py:17-55 ``img_decode``/cv2.imdecode handles for
 these inputs. Formats with no stdlib codec (color progressive JPEG,
-float WAV, non-MJPEG video) fall back to a deterministic
+MP3/ALAW audio, non-MJPEG video) fall back to a deterministic
 byte-hash stand-in (``fake=True``) or raise honestly. Everything
 Spark-side — schema, Arrow batch shape, mapInPandas signatures,
 partition behavior — is real and tested.

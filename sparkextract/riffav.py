@@ -10,12 +10,12 @@ chunks. The decoders walk chunks defensively and normalize every parse
 failure to ``ValueError`` so the Spark-side callers (multimodal.py) can
 distinguish "malformed payload" from "format not supported".
 
-Scope is honest: WAV covers 16-bit PCM (format 1, any channel count)
-AND mono IMA ADPCM (format 0x11, the classic 4-bit compressed WAV —
-full encoder + decoder below); AVI covers MJPEG ('00dc' frame chunks,
-decoded by sparkextract.jpeg). Float/other compressed WAV and
-non-MJPEG video raise NotImplementedError — there is no stdlib path
-for those.
+Scope is honest: WAV covers 16-bit PCM (format 1, any channel count),
+IEEE float32 (format 3, scaled to int16 on decode) AND mono IMA ADPCM
+(format 0x11, the classic 4-bit compressed WAV — full encoder +
+decoder below); AVI covers MJPEG ('00dc' frame chunks, decoded by
+sparkextract.jpeg). Other WAV formats (MP3/ALAW/...) and non-MJPEG
+video raise NotImplementedError — there is no stdlib path for those.
 """
 
 from __future__ import annotations
@@ -63,11 +63,31 @@ def _walk_riff(data: bytes, form: bytes):
         pos += 8 + size + (size % 2)  # skip alignment pad
 
 
+def encode_wav_float32(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """float samples in [-1, 1], shape (n,) or (n, ch) → IEEE-float WAV
+    (format 3, 32-bit)."""
+    s = np.asarray(samples, dtype="<f4")
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2:
+        raise ValueError("samples must be (n,) or (n, ch)")
+    n, ch = s.shape
+    data = s.tobytes()
+    block_align = ch * 4
+    fmt = struct.pack(
+        "<HHIIHH", 3, ch, sample_rate, sample_rate * block_align, block_align, 32
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """WAV bytes → (sample_rate, samples) with samples int16 (n, ch).
-    16-bit PCM (format 1) and mono IMA ADPCM (format 0x11, the classic
-    4-bit compressed WAV); malformed input → ValueError, other
-    compressed formats → NotImplementedError."""
+    16-bit PCM (format 1), IEEE float32 (format 3, scaled to int16) and
+    mono IMA ADPCM (format 0x11, the classic 4-bit compressed WAV);
+    malformed input → ValueError, other formats → NotImplementedError."""
     fmt = pcm = fmt_raw = None
     n_samples = None
     for tag, payload in _walk_riff(bytes(data), b"WAVE"):
@@ -94,8 +114,16 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         if spb < 1:
             raise ValueError("bad ADPCM samples-per-block")
         return sample_rate, _decode_adpcm(pcm, ch, block_align, spb, n_samples)
+    if audio_format == 3:  # IEEE float: scale [-1, 1] → int16
+        if bits != 32:
+            raise NotImplementedError(f"{bits}-bit float WAV (only float32)")
+        usable = len(pcm) - len(pcm) % (4 * ch)
+        f = np.frombuffer(pcm[:usable], dtype="<f4").reshape(-1, ch)
+        return sample_rate, np.clip(
+            np.rint(f.astype(np.float64) * 32767.0), -32768, 32767
+        ).astype(np.int16)
     if audio_format != 1:
-        raise NotImplementedError(f"WAV format {audio_format} (non-PCM)")
+        raise NotImplementedError(f"WAV format {audio_format} (unsupported)")
     if bits != 16:
         raise NotImplementedError(f"{bits}-bit WAV (only 16-bit PCM)")
     usable = len(pcm) - len(pcm) % (2 * ch)

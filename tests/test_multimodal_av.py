@@ -58,9 +58,18 @@ def test_wav_malformed_raises():
 
 def test_wav_non_pcm_raises_not_implemented():
     good = bytearray(encode_wav_pcm16(np.zeros(10, np.int16), 8000))
-    good[20] = 3  # audio_format = IEEE float
+    good[20] = 85  # audio_format = MP3 — no stdlib path
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(good))
+
+
+def test_wav_float32_decodes_scaled():
+    from sparkextract.riffav import encode_wav_float32
+
+    f = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 2.0], dtype=np.float32)
+    sr, out = decode_wav(encode_wav_float32(f, 22050))
+    assert sr == 22050 and out.shape == (6, 1)
+    assert out[:, 0].tolist() == [0, 16384, -16384, 32767, -32767, 32767]
 
 
 def test_wav_features_exact():
