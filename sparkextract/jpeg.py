@@ -18,11 +18,12 @@ paddle_ocr.py:17-19 ``img_decode``/cv2.imdecode.
 
 Scope: 8-bit DCT, no restart markers; baseline single-scan gray (1
 component, no subsampling) or color (3 components, fixed 4:2:0), plus
-PROGRESSIVE (SOF2) grayscale — full spectral-selection +
-successive-approximation scan decoding (EOBn runs, ZRL, correction
-bits; T.81 Annex G) and a 4-scan progressive encoder, pinned to the
-same ``jpeg_reconstruct_gray`` exactness oracle. Color progressive /
-other samplings raise ValueError (decode_image falls back)."""
+PROGRESSIVE (SOF2) grayscale AND 4:2:0 color — full
+spectral-selection + successive-approximation scan decoding (EOBn
+runs, ZRL, correction bits, interleaved DC scans; T.81 Annex G) with
+matching 4-scan (gray) / 8-scan (color) progressive encoders, pinned
+to the same ``jpeg_reconstruct_*`` exactness oracles. Other samplings
+raise ValueError (decode_image falls back)."""
 
 from __future__ import annotations
 
@@ -494,7 +495,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if ncomp == 3 and [c[1] for c in comps] != [0x22, 0x11, 0x11]:
                 raise ValueError("only 4:2:0 color sampling supported")
         elif marker == 0xC2:
-            return _decode_progressive_gray(data)
+            return _decode_progressive(data)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xC4:
@@ -704,6 +705,82 @@ def encode_jpeg_gray_progressive(arr: np.ndarray) -> bytes:
     return out + b"\xff\xd9"
 
 
+def encode_jpeg_color_progressive(arr: np.ndarray) -> bytes:
+    """(h, w, 3) RGB → PROGRESSIVE 4:2:0 YCbCr JPEG (SOF2), 8-scan
+    script: interleaved DC first + DC refine (MCU order, per-component
+    predictors), then per-component AC first + AC refine in
+    non-interleaved order (T.81 G.1.1: multi-component scans are DC
+    only). Carries exactly ``encode_jpeg_color``'s quantized
+    coefficients → ``decode_jpeg`` must equal ``jpeg_reconstruct_color``
+    on the visible crop."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_jpeg_color_progressive takes (h, w, 3) RGB")
+    h, w = a.shape[:2]
+    (Hy, Wy), yb, (Hc, Wc), cbb, crb = _color_planes(a)
+    planes = [yb, cbb, crb]
+    dct = [_huff_encode_table(DC_BITS, DC_VALS),
+           _huff_encode_table(DC_BITS_C, DC_VALS_C)]
+    act = [_huff_encode_table(AC_BITS, AC_VALS),
+           _huff_encode_table(AC_BITS_C, AC_VALS_C)]
+    tcls = [0, 1, 1]  # table class per component (luma, chroma, chroma)
+    mcu_seq = _color_mcu_seq(Hy, Wy)
+
+    # scan 1: interleaved DC first, Al=1
+    bw1, preds = _BitWriter(), [0, 0, 0]
+    for ci, bi in mcu_seq:
+        v = int(planes[ci][bi][0]) >> 1
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = abs(diff).bit_length()
+        bw1.write_code(*dct[tcls[ci]][s])
+        if s:
+            bw1.write_value(diff, s)
+    # scan 2: interleaved DC refinement (raw bits, MCU order)
+    bw2 = _BitWriter()
+    for ci, bi in mcu_seq:
+        bw2.write_code(int(planes[ci][bi][0]) & 1, 1)
+    # per-component AC scans in non-interleaved order
+    ch_h, ch_w = -(-h // 2), -(-w // 2)
+    orders = [
+        _ni_order(h, w, Wy // 8),
+        _ni_order(ch_h, ch_w, Wc // 8),
+        _ni_order(ch_h, ch_w, Wc // 8),
+    ]
+    ac_scans = []
+    for ci in range(3):
+        bwf, bwr = _BitWriter(), _BitWriter()
+        for bi in orders[ci]:
+            zz = planes[ci][bi]
+            _write_ac_first(bwf, [_ac_shift(int(v), 1) for v in zz[1:]], act[tcls[ci]])
+            _write_ac_refine(bwr, [int(v) for v in zz[1:]], act[tcls[ci]], 0)
+        ac_scans.append((bwf, bwr))
+
+    cids = [1, 2, 3]
+    out = b"\xff\xd8"
+    out += _seg(0xFFDB, _dqt_body(0, QTAB) + _dqt_body(1, QTAB_C))
+    out += _seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    )
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += _seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+    out += _seg(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C))
+    dc_sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11])
+    out += _seg(0xFFDA, dc_sos + bytes([0, 0, 0x01])) + bw1.stuffed_bytes()
+    out += _seg(0xFFDA, dc_sos + bytes([0, 0, 0x10])) + bw2.stuffed_bytes()
+    for ci in range(3):
+        tb = tcls[ci]  # ac table id == class id here (0 luma, 1 chroma)
+        bwf, bwr = ac_scans[ci]
+        out += _seg(0xFFDA, bytes([1, cids[ci], tb, 1, 63, 0x01]))
+        out += bwf.stuffed_bytes()
+        out += _seg(0xFFDA, bytes([1, cids[ci], tb, 1, 63, 0x10]))
+        out += bwr.stuffed_bytes()
+    return out + b"\xff\xd9"
+
+
 def _next_marker(data: bytes, pos: int) -> int:
     """First offset ≥ pos of a real (non-stuffed, non-fill) marker."""
     while pos + 1 < len(data):
@@ -714,26 +791,49 @@ def _next_marker(data: bytes, pos: int) -> int:
 
 
 def _scan_dc(
-    coefs: np.ndarray, br: _BitReader, dc_table, ah: int, al: int
+    coefs: np.ndarray, br: _BitReader, dc_table, ah: int, al: int,
+    order: list[int] | None = None,
 ) -> None:
+    seq = order if order is not None else range(len(coefs))
     if ah == 0:  # first DC scan: huffman diffs of dc >> al
         prev = 0
-        for i in range(len(coefs)):
+        for i in seq:
             s = _read_symbol(br, dc_table)
             prev += _extend(br.read_bits(s), s) if s else 0
             coefs[i, 0] = prev << al
     else:  # refinement: one raw bit per block
-        for i in range(len(coefs)):
+        for i in seq:
             if br.read_bit():
                 coefs[i, 0] |= 1 << al
 
 
-def _scan_ac_first(
-    coefs: np.ndarray, br: _BitReader, ac_table, ss: int, se: int, al: int
+def _scan_dc_interleaved(
+    comps: list[dict], mcu_seq: list[tuple[int, int]], br: _BitReader,
+    dc_tables: dict[int, dict], ah: int, al: int,
 ) -> None:
-    """AC first scan (T.81 G.2): RLE symbols + EOBn block-run lengths."""
+    """Interleaved (ns=ncomp) DC scan in MCU order, per-component
+    predictors (T.81 G.2 with the baseline MCU walk)."""
+    if ah == 0:
+        preds = [0] * len(comps)
+        for ci, bi in mcu_seq:
+            s = _read_symbol(br, dc_tables[ci])
+            preds[ci] += _extend(br.read_bits(s), s) if s else 0
+            comps[ci]["coefs"][bi, 0] = preds[ci] << al
+    else:
+        for ci, bi in mcu_seq:
+            if br.read_bit():
+                comps[ci]["coefs"][bi, 0] |= 1 << al
+
+
+def _scan_ac_first(
+    coefs: np.ndarray, br: _BitReader, ac_table, ss: int, se: int, al: int,
+    order: list[int] | None = None,
+) -> None:
+    """AC first scan (T.81 G.2): RLE symbols + EOBn block-run lengths.
+    ``order`` gives the block indices the scan covers (non-interleaved
+    component order for color; default = every block)."""
     eobrun = 0
-    for bi in range(len(coefs)):
+    for bi in order if order is not None else range(len(coefs)):
         if eobrun > 0:
             eobrun -= 1
             continue
@@ -755,7 +855,8 @@ def _scan_ac_first(
 
 
 def _scan_ac_refine(
-    coefs: np.ndarray, br: _BitReader, ac_table, ss: int, se: int, al: int
+    coefs: np.ndarray, br: _BitReader, ac_table, ss: int, se: int, al: int,
+    order: list[int] | None = None,
 ) -> None:
     """AC refinement scan (T.81 G.2 / Annex G decode flowcharts):
     (run,1) symbols introduce new ±1·2^al coefficients, with one
@@ -768,7 +869,7 @@ def _scan_ac_refine(
             step = (1 << al) if coefs[bi, k] > 0 else -(1 << al)
             coefs[bi, k] += step
 
-    for bi in range(len(coefs)):
+    for bi in order if order is not None else range(len(coefs)):
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -805,14 +906,44 @@ def _scan_ac_refine(
             eobrun -= 1
 
 
-def _decode_progressive_gray(data: bytes) -> np.ndarray:
-    """SOF2 grayscale decoder: accumulate coefficients across all scans,
-    then dequantize + IDCT once. Color progressive raises."""
+def _color_mcu_seq(Hy: int, Wy: int) -> list[tuple[int, int]]:
+    """(comp index, block index) pairs in 4:2:0 MCU order (4 Y, Cb, Cr)
+    over the 16-padded luma grid."""
+    nbx, ncx = Wy // 8, Wy // 16
+    seq: list[tuple[int, int]] = []
+    for my in range(Hy // 16):
+        for mx in range(Wy // 16):
+            for oy, ox in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                seq.append((0, (2 * my + oy) * nbx + 2 * mx + ox))
+            seq.append((1, my * ncx + mx))
+            seq.append((2, my * ncx + mx))
+    return seq
+
+
+def _ni_order(comp_h: int, comp_w: int, nbx: int) -> list[int]:
+    """NON-interleaved scan block order for a component: raster over its
+    own ceil-to-8 grid, indices into the (possibly MCU-padded) block
+    array with ``nbx`` columns. MCU-padding blocks outside this grid are
+    never coded in AC scans (their coefficients stay zero — they lie
+    entirely outside the visible crop)."""
+    return [
+        r * nbx + c
+        for r in range(-(-comp_h // 8))
+        for c in range(-(-comp_w // 8))
+    ]
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """SOF2 decoder (grayscale or 4:2:0 color): accumulate coefficients
+    across all scans (interleaved DC + non-interleaved AC), then
+    dequantize + IDCT once."""
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
-    h = w = qid = None
-    coefs = None
+    h = w = None
+    comps: list[dict] = []  # {cid, qid, coefs, nbx, order}
+    by_cid: dict[int, int] = {}
+    mcu_seq: list[tuple[int, int]] = []
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -832,15 +963,41 @@ def _decode_progressive_gray(data: bytes) -> np.ndarray:
                 off += 65
         elif marker == 0xC2:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
-                raise ValueError(
-                    "progressive decode implemented for 8-bit grayscale only"
+            if prec != 8 or ncomp not in (1, 3):
+                raise ValueError("progressive: 8-bit, 1 or 3 components only")
+            raw = [
+                (body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i])
+                for i in range(ncomp)
+            ]
+            if ncomp == 1:
+                if raw[0][1] != 0x11:
+                    raise ValueError("subsampled grayscale unsupported")
+                Hp, Wp = -(-h // 8) * 8, -(-w // 8) * 8
+                dims = [(Hp, Wp, h, w)]
+            else:
+                if [r[1] for r in raw] != [0x22, 0x11, 0x11]:
+                    raise ValueError("only 4:2:0 color sampling supported")
+                Hy, Wy = -(-h // 16) * 16, -(-w // 16) * 16
+                ch_h, ch_w = -(-h // 2), -(-w // 2)
+                dims = [
+                    (Hy, Wy, h, w),
+                    (Hy // 2, Wy // 2, ch_h, ch_w),
+                    (Hy // 2, Wy // 2, ch_h, ch_w),
+                ]
+                mcu_seq = _color_mcu_seq(Hy, Wy)
+            for i, ((cid, _s, qid), (Hp, Wp, ch2, cw2)) in enumerate(
+                zip(raw, dims)
+            ):
+                nbx = Wp // 8
+                comps.append(
+                    {
+                        "cid": cid, "qid": qid, "nbx": nbx,
+                        "Hp": Hp, "Wp": Wp,
+                        "coefs": np.zeros(((Hp // 8) * nbx, 64), dtype=np.int64),
+                        "order": _ni_order(ch2, cw2, nbx),
+                    }
                 )
-            if body[7] != 0x11:
-                raise ValueError("subsampled grayscale unsupported")
-            qid = body[8]
-            nblocks = (-(-h // 8)) * (-(-w // 8))
-            coefs = np.zeros((nblocks, 64), dtype=np.int64)
+                by_cid[cid] = i
         elif marker == 0xC4:
             off = 0
             while off < len(body):
@@ -853,32 +1010,64 @@ def _decode_progressive_gray(data: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:
-            if coefs is None:
+            if not comps:
                 raise ValueError("SOS before SOF2")
             ns = body[0]
-            if ns != 1:
-                raise ValueError("multi-component progressive scan unsupported")
-            tbl = body[2]
-            ss, se, ahal = body[3], body[4], body[5]
+            specs = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
             br = _BitReader(data, pos + 2 + length)
-            if ss == 0:
-                if se != 0:
-                    raise ValueError("DC scan must have Se=0")
-                _scan_dc(coefs, br, huff.get((0, tbl >> 4)), ah, al)
-            elif ah == 0:
-                _scan_ac_first(coefs, br, huff[(1, tbl & 0x0F)], ss, se, al)
+            if ns > 1:  # interleaved: DC only (T.81 G.1.1)
+                if ss != 0 or se != 0 or ns != len(comps):
+                    raise ValueError("interleaved progressive scan must be DC")
+                dc_tables = {
+                    by_cid[cid]: huff[(0, tbl >> 4)] for cid, tbl in specs
+                } if ah == 0 else {}
+                _scan_dc_interleaved(comps, mcu_seq, br, dc_tables, ah, al)
             else:
-                _scan_ac_refine(coefs, br, huff[(1, tbl & 0x0F)], ss, se, al)
+                cid, tbl = specs[0]
+                c = comps[by_cid[cid]]
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError("DC scan must have Se=0")
+                    _scan_dc(
+                        c["coefs"], br,
+                        huff.get((0, tbl >> 4)), ah, al, order=c["order"],
+                    )
+                elif ah == 0:
+                    _scan_ac_first(
+                        c["coefs"], br, huff[(1, tbl & 0x0F)], ss, se, al,
+                        order=c["order"],
+                    )
+                else:
+                    _scan_ac_refine(
+                        c["coefs"], br, huff[(1, tbl & 0x0F)], ss, se, al,
+                        order=c["order"],
+                    )
             pos = _next_marker(data, br.pos)
             continue
         pos += 2 + length
-    if coefs is None or not qtabs or qid not in qtabs:
+    if not comps or not qtabs:
         raise ValueError("missing JPEG segments")
-    H, W = -(-h // 8) * 8, -(-w // 8) * 8
     # coefficients are stored in NATURAL order during scans (the scan
     # index IS the zigzag index) — _reconstruct expects zigzag vectors,
     # which is exactly this layout
-    blocks = [coefs[i] for i in range(len(coefs))]
-    return _reconstruct(H, W, blocks, qtab=qtabs[qid])[:h, :w, None]
+    planes = []
+    for c in comps:
+        if c["qid"] not in qtabs:
+            raise ValueError("missing quant table")
+        blocks = [c["coefs"][i] for i in range(len(c["coefs"]))]
+        planes.append(
+            _reconstruct(c["Hp"], c["Wp"], blocks, qtab=qtabs[c["qid"]])
+        )
+    if len(planes) == 1:
+        return planes[0][:h, :w, None]
+    yr = planes[0][:h, :w]
+    return _ycbcr_to_rgb(
+        yr, _upsample2(planes[1], h, w), _upsample2(planes[2], h, w)
+    )
+
+
+# back-compat alias (grayscale was the first progressive scope)
+_decode_progressive_gray = _decode_progressive
 

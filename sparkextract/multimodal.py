@@ -6,8 +6,8 @@ Decodes are REAL pure-stdlib paths wherever the format allows: PNG
 (baseline AND progressive/SOF2) + 4:2:0 color JPEG (jpeg.py), WAV
 16-bit PCM and AVI/MJPEG containers (riffav.py) — covering what
 reference paddle_ocr.py:17-55 ``img_decode``/cv2.imdecode handles for
-these inputs. Formats with no stdlib codec (color progressive JPEG,
-MP3/ALAW audio, non-MJPEG video) fall back to a deterministic
+these inputs. Formats with no stdlib codec (MP3/ALAW
+audio, non-MJPEG video) fall back to a deterministic
 byte-hash stand-in (``fake=True``) or raise honestly. Everything
 Spark-side — schema, Arrow batch shape, mapInPandas signatures,
 partition behavior — is real and tested.
@@ -322,11 +322,11 @@ def decode_gif(data: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload. PNG, GIF, and JPEG (baseline gray +
-    4:2:0 color + progressive gray) → REAL stdlib decodes ((h,w,c)
-    uint8). Anything else (color progressive JPEG, audio/video) needs
-    native codecs absent here: fake=True → the deterministic byte-hash
-    stand-in, else NotImplementedError."""
+    """Decode an image payload. PNG, GIF, and JPEG (baseline and
+    PROGRESSIVE, grayscale and 4:2:0 color) → REAL stdlib decodes
+    ((h,w,c) uint8). Anything else (audio/video containers, exotic
+    formats) needs native codecs absent here: fake=True → the
+    deterministic byte-hash stand-in, else NotImplementedError."""
     try:
         if payload[:8] == PNG_MAGIC:
             return decode_png(bytes(payload))
@@ -500,7 +500,7 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         base = hashlib.sha256(f"media-{i}".encode()).digest()
         if kind == "image":
             side = 8 + (i % 5) * 4
-            fmt = (i // 3) % 5  # rotate the five REAL formats
+            fmt = (i // 3) % 6  # rotate the six REAL formats
             if fmt == 1:  # GIF (grayscale, lossless)
                 need = side * side
                 g = np.frombuffer(
@@ -531,6 +531,14 @@ def synth_media(spark, n: int = 64) -> DataFrame:
                     (base * (need // len(base) + 1))[:need], dtype=np.uint8
                 ).reshape(side, side)
                 payload = encode_jpeg_gray_progressive(g)
+            elif fmt == 5:  # PROGRESSIVE 4:2:0 color JPEG (8 scans)
+                from .jpeg import encode_jpeg_color_progressive
+
+                need = side * side * 3
+                px = np.frombuffer(
+                    (base * (need // len(base) + 1))[:need], dtype=np.uint8
+                ).reshape(side, side, 3)
+                payload = encode_jpeg_color_progressive(px)
             else:  # PNG (RGB, lossless)
                 need = side * side * 3
                 px = np.frombuffer(

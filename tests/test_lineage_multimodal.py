@@ -464,3 +464,31 @@ def test_synth_media_includes_progressive(spark):
     assert b"\xff\xc2" in rows[12]
     img = multimodal.decode_image(rows[12])
     assert img.ndim == 3 and img.shape[2] == 1
+
+
+def test_color_progressive_jpeg_exact_vs_reconstruction_oracle():
+    """8-scan color progressive (interleaved DC + per-component AC
+    scans) must reproduce the SAME reconstruction oracle as baseline
+    color, bit-for-bit on the visible crop."""
+    import numpy as np
+
+    from sparkextract import jpeg
+
+    rng = np.random.default_rng(17)
+    for shape in [(8, 8), (16, 16), (7, 5), (33, 41), (20, 30)]:
+        a = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        got = jpeg.decode_jpeg(jpeg.encode_jpeg_color_progressive(a))
+        assert (got == jpeg.jpeg_reconstruct_color(a)).all(), shape
+
+
+def test_synth_media_includes_color_progressive(spark):
+    media = multimodal.synth_media(spark, n=48)
+    imgs = {r.media_id: bytes(r.payload) for r in media.collect() if r.kind == "image"}
+    # media 15: i//3 == 5 -> fmt 5 == color progressive (SOF2, 3 comps)
+    p = imgs[15]
+    assert b"\xff\xc2" in p
+    img = multimodal.decode_image(p)
+    assert img.ndim == 3 and img.shape[2] == 3
+    # the whole image rotation decodes for real
+    for mid, payload in imgs.items():
+        assert multimodal.decode_image(payload).ndim == 3, mid
