@@ -16,8 +16,10 @@ huffman/bitstream/MCU layer. The decode path and the oracle share every
 numeric helper, so equality is structural, not luck. Reference analog:
 paddle_ocr.py:17-19 ``img_decode``/cv2.imdecode.
 
-Scope: 8-bit DCT, no restart markers; baseline single-scan gray (1
-component, no subsampling) or color (3 components, fixed 4:2:0), plus
+Scope: 8-bit DCT; baseline single-scan gray (1 component, no
+subsampling) or color (3 components, fixed 4:2:0) WITH optional
+restart markers (DRI/RSTn: predictor reset + byte alignment, encoder
+flag + decoder support), plus
 PROGRESSIVE (SOF2) grayscale AND 4:2:0 color — full
 spectral-selection + successive-approximation scan decoding (EOBn
 runs, ZRL, correction bits, interleaved DC scans; T.81 Annex G) with
@@ -292,7 +294,11 @@ def _dqt_body(tid: int, qtab: np.ndarray) -> bytes:
     return bytes([tid]) + bytes(int(x) for x in qz)
 
 
-def encode_jpeg_gray(arr: np.ndarray) -> bytes:
+def encode_jpeg_gray(arr: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Baseline grayscale encoder; ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker (DC predictor reset, byte-aligned) every
+    that many MCUs — the error-resilience feature real-world encoders
+    use (T.81 §B.2.5/E.2.4)."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 3:
         if a.shape[2] != 1:
@@ -302,18 +308,25 @@ def encode_jpeg_gray(arr: np.ndarray) -> bytes:
     _, blocks = _quantized_blocks(a)
     dct_t = _huff_encode_table(DC_BITS, DC_VALS)
     act_t = _huff_encode_table(AC_BITS, AC_VALS)
-    bw = _BitWriter()
-    prev_dc = 0
-    for zz in blocks:
+    segments, bw, prev_dc, rst = [], _BitWriter(), 0, 0
+    for m, zz in enumerate(blocks):
+        if restart_interval and m and m % restart_interval == 0:
+            segments.append(bw.stuffed_bytes() + bytes([0xFF, 0xD0 + (rst & 7)]))
+            rst += 1
+            bw = _BitWriter()
+            prev_dc = 0
         prev_dc = _write_block(bw, zz, dct_t, act_t, prev_dc)
+    segments.append(bw.stuffed_bytes())
 
     out = b"\xff\xd8"  # SOI
     out += _seg(0xFFDB, _dqt_body(0, QTAB))
     out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
     out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
-    out += bw.stuffed_bytes()
+    out += b"".join(segments)
     return out + b"\xff\xd9"  # EOI
 
 
@@ -329,8 +342,9 @@ def _color_planes(a: np.ndarray):
     return (Hy, Wy), yb, (Hc, Wc), cbb, crb
 
 
-def encode_jpeg_color(arr: np.ndarray) -> bytes:
-    """(h, w, 3) RGB uint8 → baseline 4:2:0 YCbCr JPEG."""
+def encode_jpeg_color(arr: np.ndarray, restart_interval: int = 0) -> bytes:
+    """(h, w, 3) RGB uint8 → baseline 4:2:0 YCbCr JPEG; optional RSTn
+    markers every ``restart_interval`` MCUs (see encode_jpeg_gray)."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError("encode_jpeg_color takes (h, w, 3) RGB")
@@ -340,17 +354,24 @@ def encode_jpeg_color(arr: np.ndarray) -> bytes:
     act_y = _huff_encode_table(AC_BITS, AC_VALS)
     dct_c = _huff_encode_table(DC_BITS_C, DC_VALS_C)
     act_c = _huff_encode_table(AC_BITS_C, AC_VALS_C)
-    bw = _BitWriter()
+    segments, bw, rst, m = [], _BitWriter(), 0, 0
     dy_, dcb, dcr = 0, 0, 0
     nbx, ncx = Wy // 8, Wc // 8
     for my in range(Hy // 16):
         for mx in range(Wy // 16):
+            if restart_interval and m and m % restart_interval == 0:
+                segments.append(bw.stuffed_bytes() + bytes([0xFF, 0xD0 + (rst & 7)]))
+                rst += 1
+                bw = _BitWriter()
+                dy_ = dcb = dcr = 0
+            m += 1
             for oy, ox in ((0, 0), (0, 1), (1, 0), (1, 1)):
                 dy_ = _write_block(
                     bw, yb[(2 * my + oy) * nbx + 2 * mx + ox], dct_y, act_y, dy_
                 )
             dcb = _write_block(bw, cbb[my * ncx + mx], dct_c, act_c, dcb)
             dcr = _write_block(bw, crb[my * ncx + mx], dct_c, act_c, dcr)
+    segments.append(bw.stuffed_bytes())
 
     out = b"\xff\xd8"
     out += _seg(0xFFDB, _dqt_body(0, QTAB) + _dqt_body(1, QTAB_C))
@@ -363,8 +384,10 @@ def encode_jpeg_color(arr: np.ndarray) -> bytes:
     out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
     out += _seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
     out += _seg(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00")
-    out += bw.stuffed_bytes()
+    out += b"".join(segments)
     return out + b"\xff\xd9"
 
 
@@ -411,6 +434,19 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def sync_restart(self, n: int) -> None:
+        """Byte-align and consume the expected RSTn marker (T.81 §B.2.5:
+        restart markers stand between entropy segments, not stuffed)."""
+        self.cur = 0
+        self.nbits = 0  # discard pad bits of the closed segment
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (n & 7)
+        ):
+            raise ValueError("missing/misnumbered restart marker")
+        self.pos += 2
 
 
 def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -465,6 +501,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_tables: dict[int, tuple[int, int]] = {}  # cid -> (dc id, ac id)
     scan_order: list[int] = []
     scan_pos = None
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -508,7 +545,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 huff[(tc_th >> 4, tc_th & 0x0F)] = _huff_decode_table(bits, vals)
                 off += 17 + nvals
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             ns = body[0]
             for i in range(ns):
@@ -532,8 +569,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         cid, _, qid = comps[0]
         dc_t, ac_t = tables(cid)
         H, W = -(-h // 8) * 8, -(-w // 8) * 8
+        n_mcu = (H // 8) * (W // 8)
         blocks, prev_dc = [], 0
-        for _ in range((H // 8) * (W // 8)):
+        for m in range(n_mcu):
+            if restart_interval and m and m % restart_interval == 0:
+                br.sync_restart(m // restart_interval - 1)
+                prev_dc = 0  # RSTn resets the DC predictor (T.81 E.2.4)
             zz, prev_dc = _read_block(br, dc_t, ac_t, prev_dc)
             blocks.append(zz)
         return _reconstruct(H, W, blocks, qtab=qtabs[qid])[:h, :w, None]
@@ -550,8 +591,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dc_c1, ac_c1 = tables(cb_cid)
     dc_c2, ac_c2 = tables(cr_cid)
     pdy = pdcb = pdcr = 0
+    m = 0
     for my in range(Hy // 16):
         for mx in range(Wy // 16):
+            if restart_interval and m and m % restart_interval == 0:
+                br.sync_restart(m // restart_interval - 1)
+                pdy = pdcb = pdcr = 0
+            m += 1
             for oy, ox in ((0, 0), (0, 1), (1, 0), (1, 1)):
                 zz, pdy = _read_block(br, dc_y, ac_y, pdy)
                 yb[(2 * my + oy) * nbx + 2 * mx + ox] = zz

@@ -492,3 +492,34 @@ def test_synth_media_includes_color_progressive(spark):
     # the whole image rotation decodes for real
     for mid, payload in imgs.items():
         assert multimodal.decode_image(payload).ndim == 3, mid
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn (T.81 B.2.5/E.2.4): byte-aligned restart markers with DC
+    predictor reset, gray and color, including RST number cycling past 7
+    — decode must still equal the reconstruction oracle exactly; a
+    misnumbered marker must raise, not desync."""
+    import numpy as np
+
+    from sparkextract import jpeg
+
+    rng = np.random.default_rng(41)
+    g = rng.integers(0, 256, size=(33, 41), dtype=np.uint8)
+    c = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    for ri in (1, 3, 7):
+        got = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(g, restart_interval=ri))
+        assert (got[:, :, 0] == jpeg.jpeg_reconstruct_gray(g)).all(), ri
+        got = jpeg.decode_jpeg(jpeg.encode_jpeg_color(c, restart_interval=ri))
+        assert (got == jpeg.jpeg_reconstruct_color(c)).all(), ri
+    # >8 restarts exercises the RSTn modulo-8 cycle
+    big = rng.integers(0, 256, size=(80, 80), dtype=np.uint8)
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(big, restart_interval=1))
+    assert (got[:, :, 0] == jpeg.jpeg_reconstruct_gray(big)).all()
+    # corrupt marker number -> loud failure
+    data = bytearray(jpeg.encode_jpeg_gray(big, restart_interval=4))
+    i = bytes(data).index(b"\xff\xd0")
+    data[i + 1] = 0xD6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(data))
