@@ -144,6 +144,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_k4": lambda s, d: textops.winnow_fingerprints(
             _t(s, d, "documents"), k=4, w=5
         ),
+        # exact duplicated-substring spans (Lee+22 suffix-array dedup,
+        # distributed phrasing: dup-flag count + gaps-and-islands merge)
+        "substring_dup_spans": lambda s, d: textops.substring_dup_spans(
+            _t(s, d, "documents")
+        ),
         # --- similarity search over embeddings ---
         "ann_cosine_topk": lambda s, d: simsearch.ann_topk(_t(s, d, "embeddings")),
         "ann_ivf_topk": lambda s, d: simsearch.ivf_topk(_t(s, d, "embeddings")),
@@ -270,6 +275,31 @@ m AS (
   FROM g
 )
 SELECT DISTINCT doc_id, fp FROM m WHERE pos >= {w - 1}
+"""
+
+
+def _substring_dup_sql(k: int) -> str:
+    gram = " || ' ' || ".join(f"ws[pos + {j + 1}]" for j in range(k))
+    return f"""
+WITH sh0 AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos, md5({gram}) AS h
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {k - 1})) AS pos
+        FROM sh0 WHERE len(ws) >= {k})
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+flagged AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + {k} - 1 AS INT) AS span_end,
+       CAST(MAX(pos) + {k} - MIN(pos) AS INT) AS n_words
+FROM isl GROUP BY doc_id, grp
 """
 
 
@@ -616,6 +646,7 @@ FROM inj
 """,
         "winnow_fingerprints": _winnow_sql(3, 4),
         "winnow_fingerprints_k4": _winnow_sql(4, 5),
+        "substring_dup_spans": _substring_dup_sql(5),
         # weights are 31^i mod 982451653; wv and each product are reduced
         # mod the same prime so nothing exceeds int64 (matches
         # textops.fingerprint — values unchanged vs the non-overflowing form)

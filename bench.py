@@ -94,6 +94,7 @@ def run(spark) -> dict:
     bench("token_count", lambda: textops.token_count(big_docs))
     bench("doc_fingerprint", lambda: textops.fingerprint(big_docs))
     bench("winnow_fingerprints", lambda: textops.winnow_fingerprints(big_docs))
+    bench("substring_dup_spans", lambda: textops.substring_dup_spans(big_docs))
     bench("simhash_neardup", lambda: textops.simhash_neardup(docs))
     bench("ngram_jaccard", lambda: textops.ngram_jaccard_pairs(docs))
     bench("gopher_quality", lambda: textops.gopher_quality(big_docs))

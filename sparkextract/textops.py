@@ -431,6 +431,49 @@ def winnow_fingerprints(
     )
 
 
+def substring_dup_spans(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Exact duplicated-substring detection (the distributed phrasing of
+    suffix-array substring dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): every maximal word
+    span of length ≥ ``k`` that occurs more than once in the corpus
+    (across documents OR repeated within one). Returns one row per
+    maximal span occurrence: (doc_id, span_start, span_end, n_words).
+
+    Shape at scale: one k-gram explode → one count keyed on the gram
+    hash (map-side combinable, no pair join — duplication is a FLAG,
+    not a pairing, so stop-gram skew cannot blow up) → a per-doc
+    gaps-and-islands merge of flagged positions. Cost ∝ corpus tokens,
+    independent of duplicate multiplicity."""
+    words_df = documents.select("doc_id", F.split("text", " ").alias("ws"))
+    wcol = F.col("ws")
+    grams = F.when(
+        F.size(wcol) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(wcol) - k),
+            lambda i: F.md5(F.concat_ws(" ", *[wcol[i + j] for j in range(k)])),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = words_df.select("doc_id", F.posexplode(grams).alias("pos", "h"))
+    dup = g.groupBy("h").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") >= 2)
+    flagged = g.join(dup.select("h"), "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = flagged.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("span_end_g"))
+        .select(
+            "doc_id",
+            F.col("span_start").cast("int").alias("span_start"),
+            (F.col("span_end_g") + k - 1).cast("int").alias("span_end"),
+            (F.col("span_end_g") + k - F.col("span_start")).cast("int").alias(
+                "n_words"
+            ),
+        )
+    )
+
+
 FP_MOD = 982451653  # prime modulus — every intermediate stays < MOD² < 2^63
 
 
