@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sparkextract import relops, simsearch, tasks, textops, viz  # noqa: E402
+from sparkextract import htmlops, relops, simsearch, tasks, textops, viz  # noqa: E402
 from sparkextract.docsource import documents_as_transcripts  # noqa: E402
 from sparkextract.fused import extract_fused  # noqa: E402
 from sparkextract.minslice import min_slice, min_slice_sql  # noqa: E402
@@ -148,6 +148,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed phrasing: dup-flag count + gaps-and-islands merge)
         "substring_dup_spans": lambda s, d: textops.substring_dup_spans(
             _t(s, d, "documents")
+        ),
+        # --- HTML main-content extraction (north_rule: boilerplate strip +
+        # DOM heuristics). Pages synthesized deterministically per document
+        # (htmlops.HTML_TEMPLATE — same template builds the DuckDB expr) ---
+        # relational path: zero-shuffle HOF block scoring (len + link density)
+        "html_main_content": lambda s, d: htmlops.html_main_content(
+            htmlops.documents_as_html(_t(s, d, "documents"))
+        ),
+        # per-block audit view of the keep rule
+        "html_block_stats": lambda s, d: htmlops.html_block_stats(
+            htmlops.documents_as_html(_t(s, d, "documents"))
+        ),
+        # real streaming DOM pass (html.parser via mapInPandas); equals the
+        # relational path on well-formed input, so it shares the SQL twin
+        "html_dom_extract": lambda s, d: htmlops.html_dom_extract(
+            htmlops.documents_as_html(_t(s, d, "documents"))
         ),
         # --- similarity search over embeddings ---
         "ann_cosine_topk": lambda s, d: simsearch.ann_topk(_t(s, d, "embeddings")),
@@ -647,6 +663,17 @@ FROM inj
         "winnow_fingerprints": _winnow_sql(3, 4),
         "winnow_fingerprints_k4": _winnow_sql(4, 5),
         "substring_dup_spans": _substring_dup_sql(5),
+        "html_main_content": htmlops.html_main_content_sql(
+            "documents", htmlops.html_sql_expr()
+        ),
+        "html_block_stats": htmlops.html_block_stats_sql(
+            "documents", htmlops.html_sql_expr()
+        ),
+        # DOM variant == relational variant on well-formed pages (agreement
+        # pinned in tests/test_htmlops.py), so it shares the twin
+        "html_dom_extract": htmlops.html_main_content_sql(
+            "documents", htmlops.html_sql_expr()
+        ),
         # weights are 31^i mod 982451653; wv and each product are reduced
         # mod the same prime so nothing exceeds int64 (matches
         # textops.fingerprint — values unchanged vs the non-overflowing form)

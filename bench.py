@@ -30,7 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sparkextract import pipeline, relops, simsearch, textops  # noqa: E402
+from sparkextract import htmlops, pipeline, relops, simsearch, textops  # noqa: E402
 from sparkextract.docsource import (  # noqa: E402
     documents_as_transcripts,
     replicate_documents,
@@ -96,6 +96,14 @@ def run(spark) -> dict:
     bench("winnow_fingerprints", lambda: textops.winnow_fingerprints(big_docs))
     bench("substring_dup_spans", lambda: textops.substring_dup_spans(big_docs))
     bench("simhash_neardup", lambda: textops.simhash_neardup(docs))
+    bench(
+        "html_main_content",
+        lambda: htmlops.html_main_content(htmlops.documents_as_html(big_docs)),
+    )
+    bench(
+        "html_dom_extract",
+        lambda: htmlops.html_dom_extract(htmlops.documents_as_html(big_docs)),
+    )
     bench("ngram_jaccard", lambda: textops.ngram_jaccard_pairs(docs))
     bench("gopher_quality", lambda: textops.gopher_quality(big_docs))
     bench("repetition_stats", lambda: textops.repetition_stats(big_docs))
