@@ -1,7 +1,7 @@
 import sys
 sys.path.insert(0, "/root/repo")
 from sparkextract.session import build_session
-from sparkextract import synth, pipeline, schema, textops, simsearch
+from sparkextract import synth, pipeline, schema, textops, simsearch, htmlops, urlops
 from sparkextract.fused import extract_fused
 from sparkextract.minslice import min_slice
 
@@ -54,6 +54,17 @@ sections = [
      "branches join on doc_id (broadcast here, same-key sort-merge at "
      "scale - both sides are already doc_id-aggregated and tiny "
      "relative to the corpus)."),
+    ("HTML main-content extraction (relational, zero-shuffle)",
+     htmlops.html_main_content(htmlops.documents_as_html(docs)),
+     "The entire extractor - block split, per-block link-density "
+     "scoring, keep-fold - is per-row higher-order functions: ONE "
+     "Project over the scan, zero exchanges. The DOM variant is the "
+     "same shape with MapInPandas in place of the Project."),
+    ("URL canonicalization + crawl dedup",
+     urlops.url_dedup(urlops.documents_as_urls(docs)),
+     "Canonicalization is scalar expressions fused into the scan; the "
+     "dedup groupBy on canonical_url is the single combinable "
+     "exchange."),
     ("End-to-end training-data pipeline (extract -> dedup -> gate -> tokens)",
      textops.training_corpus(docs),
      "Composition stays keyed: the extraction aggregation, the LSH "

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sparkextract import htmlops, relops, simsearch, tasks, textops, viz  # noqa: E402
+from sparkextract import htmlops, relops, simsearch, tasks, textops, urlops, viz  # noqa: E402
 from sparkextract.docsource import documents_as_transcripts  # noqa: E402
 from sparkextract.fused import extract_fused  # noqa: E402
 from sparkextract.minslice import min_slice, min_slice_sql  # noqa: E402
@@ -164,6 +164,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational path on well-formed input, so it shares the SQL twin
         "html_dom_extract": lambda s, d: htmlops.html_dom_extract(
             htmlops.documents_as_html(_t(s, d, "documents"))
+        ),
+        # --- crawl-style URL ops (synthetic URLs per doc: five surface
+        # variants per canonical form, so every normalization rule is
+        # load-bearing — 500 raw urls collapse to 280 canonical) ---
+        "url_canonicalize": lambda s, d: urlops.canonical_url(
+            urlops.documents_as_urls(_t(s, d, "documents"))
+        ),
+        "url_dedup": lambda s, d: urlops.url_dedup(
+            urlops.documents_as_urls(_t(s, d, "documents"))
+        ),
+        "url_domain_stats": lambda s, d: urlops.domain_stats(
+            urlops.documents_as_urls(_t(s, d, "documents"))
         ),
         # --- similarity search over embeddings ---
         "ann_cosine_topk": lambda s, d: simsearch.ann_topk(_t(s, d, "embeddings")),
@@ -673,6 +685,13 @@ FROM inj
         # pinned in tests/test_htmlops.py), so it shares the twin
         "html_dom_extract": htmlops.html_main_content_sql(
             "documents", htmlops.html_sql_expr()
+        ),
+        "url_canonicalize": urlops.canonical_url_sql(
+            "documents", urlops.url_sql_expr()
+        ),
+        "url_dedup": urlops.url_dedup_sql("documents", urlops.url_sql_expr()),
+        "url_domain_stats": urlops.domain_stats_sql(
+            "documents", urlops.url_sql_expr()
         ),
         # weights are 31^i mod 982451653; wv and each product are reduced
         # mod the same prime so nothing exceeds int64 (matches
