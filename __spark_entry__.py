@@ -165,6 +165,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_dom_extract": lambda s, d: htmlops.html_dom_extract(
             htmlops.documents_as_html(_t(s, d, "documents"))
         ),
+        # north-rule shape on the HTML axis: per-TURN extraction + the one
+        # conv_id ordering window (same census as the fused PDF pipeline)
+        "html_extract_turns": lambda s, d: htmlops.extract_html_turns(
+            _t(s, d, "documents")
+        ),
+        # fasttext/DCLM-style linear quality classifier: hashed-ngram
+        # features x broadcast integer weight table, exact-int score
+        "quality_classifier": lambda s, d: textops.quality_classifier(
+            _t(s, d, "documents")
+        ),
+        # LM training-window chunking (overlapping word windows, narrow plan)
+        "chunk_documents": lambda s, d: textops.chunk_documents(
+            _t(s, d, "documents")
+        ),
+        # corpus vocabulary: word -> tf + df (tokenizer/vocab training input)
+        "vocab_stats": lambda s, d: textops.vocab_stats(_t(s, d, "documents")),
         # --- crawl-style URL ops (synthetic URLs per doc: five surface
         # variants per canonical form, so every normalization rule is
         # load-bearing — 500 raw urls collapse to 280 canonical) ---
@@ -686,6 +702,10 @@ FROM inj
         "html_dom_extract": htmlops.html_main_content_sql(
             "documents", htmlops.html_sql_expr()
         ),
+        "html_extract_turns": htmlops.extract_html_turns_sql(),
+        "quality_classifier": textops.quality_classifier_sql(),
+        "chunk_documents": textops.chunk_documents_sql(),
+        "vocab_stats": textops.vocab_stats_sql(),
         "url_canonicalize": urlops.canonical_url_sql(
             "documents", urlops.url_sql_expr()
         ),

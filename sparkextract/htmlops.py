@@ -92,8 +92,11 @@ def _keep(s: F.Column) -> F.Column:
     return (F.length(s["t"]) >= MIN_LEN) & (s["l"] * 100 <= MAX_LINK_PCT * F.length(s["t"]))
 
 
-def _block_structs(df: DataFrame, html_col: str) -> DataFrame:
-    """doc_id + ``ne``: array<struct<t,l>> of nonempty visible blocks.
+def _block_structs(
+    df: DataFrame, html_col: str, carry: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """``carry`` columns + ``ne``: array<struct<t,l>> of nonempty visible
+    blocks.
 
     Each intermediate array is materialized as a real column between
     selects — an expression referenced inside a HOF lambda is
@@ -102,14 +105,14 @@ def _block_structs(df: DataFrame, html_col: str) -> DataFrame:
     stripped = F.regexp_replace(
         F.regexp_replace(html_col, SCRIPT_STYLE_RE, " "), COMMENT_RE, " "
     )
-    d1 = df.select("doc_id", F.split(stripped, BLOCK_SPLIT_RE).alias("blocks"))
+    d1 = df.select(*carry, F.split(stripped, BLOCK_SPLIT_RE).alias("blocks"))
     d2 = d1.select(
-        "doc_id",
+        *carry,
         F.transform("blocks", _txt).alias("texts"),
         F.transform("blocks", _link_len).alias("links"),
     )
     return d2.select(
-        "doc_id",
+        *carry,
         F.filter(
             F.zip_with("texts", "links", lambda t, l: F.struct(t.alias("t"), l.alias("l"))),
             lambda s: s["t"] != "",
@@ -405,3 +408,54 @@ def html_sql_expr(doc_text: str = "text", doc_id: str = "doc_id") -> str:
 def documents_as_html(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, html) with the deterministic synthetic page."""
     return documents.select("doc_id", html_col().alias("html"))
+
+
+def extract_html_turns(documents: DataFrame, convs: int = 97) -> DataFrame:
+    """The north-rule shape on the HTML axis: per-TURN main-content
+    extraction under stable turn ordering. Docs are wrapped into the
+    transcripts grid (conv_id = doc_id % convs, turn_idx = doc_id //
+    convs — same mapping as docsource.documents_as_transcripts), each
+    turn's HTML payload is extracted map-side, then the single O8-style
+    window assigns turn_seq. Plan = scan → Project (zero-shuffle
+    extractor) → ONE exchange on conv_id → window; identical census to
+    the fused PDF pipeline (SCALE.md §1)."""
+    from pyspark.sql.window import Window
+
+    base = documents.select(
+        F.format_string("conv-%06d", (F.col("doc_id") % convs).cast("int")).alias(
+            "conv_id"
+        ),
+        (F.col("doc_id") / convs).cast("int").alias("turn_idx"),
+        html_col().alias("html"),
+    )
+    # conv_id/turn_idx ride THROUGH the extractor projection (no
+    # re-join): the whole pre-window job stays one narrow stage
+    d = _block_structs(base, "html", carry=("conv_id", "turn_idx"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        d.select(
+            "conv_id",
+            "turn_idx",
+            F.array_join(
+                F.transform(F.filter("ne", _keep), lambda s: s["t"]), "\n\n"
+            ).alias("main_text"),
+            F.size(F.filter("ne", _keep)).cast("bigint").alias("kept_blocks"),
+        )
+        .withColumn("turn_seq", F.row_number().over(w).cast("int"))
+        .select("conv_id", "turn_idx", "turn_seq", "main_text", "kept_blocks")
+    )
+
+
+def extract_html_turns_sql(convs: int = 97) -> str:
+    """DuckDB twin of ``extract_html_turns``."""
+    body = html_main_content_sql("documents", html_sql_expr()).strip()
+    return f"""
+WITH hsrc AS ({body})
+SELECT printf('conv-%06d', CAST(doc_id % {convs} AS INT)) AS conv_id,
+       CAST(floor(doc_id / {convs}) AS INT) AS turn_idx,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY doc_id % {convs}
+         ORDER BY floor(doc_id / {convs})) AS INT) AS turn_seq,
+       main_text, kept_blocks
+FROM hsrc
+"""

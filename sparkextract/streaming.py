@@ -155,6 +155,16 @@ def quality_scrub_stream(doc_stream: DataFrame) -> DataFrame:
     )
 
 
+def html_extract_stream(doc_stream: DataFrame) -> DataFrame:
+    """Stateless HTML main-content extraction on a document stream —
+    the ``htmlops.html_main_content`` zero-shuffle projection runs
+    unchanged under Structured Streaming (no state, no watermark), so
+    live ingest and batch backfill share one extractor definition."""
+    from .htmlops import documents_as_html, html_main_content
+
+    return html_main_content(documents_as_html(doc_stream))
+
+
 def windowed_doc_counts(
     stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -548,6 +548,182 @@ def training_corpus(documents: DataFrame, min_words: int = 40) -> DataFrame:
     )
 
 
+def _classifier_weights(dim: int = 256, seed: str = "qc1") -> list[int]:
+    """Deterministic stand-in for trained linear-classifier weights:
+    one small signed integer per hashed feature bucket (derived from
+    md5 of the bucket index — fixed forever, engine-independent). A
+    real deployment swaps this list for fasttext/DCLM-style trained
+    weights; everything downstream is unchanged."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:2], 16) % 17 - 8
+        for j in range(dim)
+    ]
+
+
+def quality_classifier(documents: DataFrame) -> DataFrame:
+    """fasttext/DCLM-style linear quality classifier: bag of hashed
+    word-unigram + bigram features × a 256-bucket integer weight vector.
+    Output: doc_id, n_feats, score (exact bigint — no float dot), pass.
+
+    Scale shape — the model-weights-as-broadcast-table pattern: gram
+    expansion is narrow; the weights relation (256 rows) broadcast-joins
+    onto the gram stream; the only exchange is the final combinable
+    groupBy(doc_id). Feature hashing reads md5 HEX CHARS (the bucket key
+    IS substr(md5(gram),1,2)), never parsed ints — engine-portable like
+    simhash."""
+    from pyspark.sql.functions import broadcast
+
+    spark = documents.sparkSession
+    w = _classifier_weights()
+    hexc = "0123456789abcdef"
+    weights = spark.createDataFrame(
+        [(hexc[j // 16] + hexc[j % 16], w[j]) for j in range(len(w))],
+        "feat string, weight long",
+    )
+    wdf = documents.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("w")
+    )
+    wcol = F.col("w")
+    bigrams = F.when(
+        F.size(wcol) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(wcol) - 2),
+            lambda i: F.concat_ws(" ", wcol[i], wcol[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = wdf.select(
+        "doc_id", F.explode(F.concat(wcol, bigrams)).alias("gram")
+    )
+    feats = grams.select("doc_id", F.substring(F.md5("gram"), 1, 2).alias("feat"))
+    return (
+        feats.join(broadcast(weights), "feat")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("weight").cast("bigint").alias("score"),
+        )
+        .select("doc_id", "n_feats", "score", (F.col("score") >= 0).alias("pass"))
+    )
+
+
+def quality_classifier_sql() -> str:
+    """DuckDB twin (same Python-generated weight constants)."""
+    w = _classifier_weights()
+    hexc = "0123456789abcdef"
+    vals = ", ".join(
+        f"('{hexc[j // 16] + hexc[j % 16]}', {w[j]})" for j in range(len(w))
+    )
+    return f"""
+WITH wt(feat, weight) AS (VALUES {vals}),
+wd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(w) AS gram FROM wd
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]))
+           AS gram
+  FROM wd WHERE len(w) >= 2
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(t.weight) AS BIGINT) AS score,
+       (CAST(SUM(t.weight) AS BIGINT) >= 0) AS pass
+FROM grams g JOIN wt t ON substr(md5(g.gram), 1, 2) = t.feat
+GROUP BY g.doc_id
+"""
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_words: int = 64, overlap: int = 8
+) -> DataFrame:
+    """Training-window chunking: split each doc into overlapping
+    ``chunk_words``-word windows (stride = chunk_words - overlap) — the
+    standard pre-tokenization packing step for LM training corpora.
+
+    Output: doc_id, chunk_idx (0-based), chunk_text, n_words. Narrow
+    plan: split + per-row sequence of starts + posexplode — no shuffle;
+    chunk rows inherit the scan's partitioning, so the downstream
+    tokenizer/packer sees ~stride-balanced rows at any scale.
+
+    Engine alignment (DESIGN.md §5): Spark ``sequence(0, n-1, stride)``
+    == DuckDB ``range(0, n, stride)``; ``slice(w, s+1, chunk)`` ==
+    ``list_slice(w, s+1, s+chunk)`` (1-based, clamped)."""
+    stride = chunk_words - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_words")
+    wdf = documents.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("w")
+    )
+    starts = F.when(
+        F.size("w") > 0, F.sequence(F.lit(0), F.size("w") - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    sdf = wdf.select("doc_id", "w", starts.alias("starts"))
+    e = sdf.select(
+        "doc_id", "w", F.posexplode("starts").alias("chunk_idx", "start")
+    )
+    chunk = F.slice("w", F.col("start") + 1, F.lit(chunk_words))
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_words"),
+    )
+
+
+def chunk_documents_sql(chunk_words: int = 64, overlap: int = 8) -> str:
+    """DuckDB twin of ``chunk_documents``."""
+    stride = chunk_words - overlap
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+s AS (
+  SELECT doc_id, w,
+         unnest(list_transform(range(1, len(range(0, len(w), {stride})) + 1),
+           i -> struct_pack(ci := i - 1, st := (range(0, len(w), {stride}))[i]))) AS u
+  FROM w
+)
+SELECT doc_id, CAST(u.ci AS INT) AS chunk_idx,
+       array_to_string(list_slice(w, u.st + 1, u.st + {chunk_words}), ' ')
+         AS chunk_text,
+       CAST(len(list_slice(w, u.st + 1, u.st + {chunk_words})) AS BIGINT)
+         AS n_words
+FROM s
+"""
+
+
+def vocab_stats(documents: DataFrame, min_tf: int = 1) -> DataFrame:
+    """Corpus vocabulary table: word → term frequency + document
+    frequency — the input to tokenizer/vocab training and to stop-word
+    discovery. One explode + one groupBy on the word key; tf is
+    map-side combinable, df runs as Spark's standard two-phase
+    count-distinct. Word keys are near-uniform (md5-free natural key is
+    fine: df≤corpus bounds skew; the super-hot stop words are exactly
+    what AQE skew-split handles)."""
+    w = words(documents)
+    out = w.groupBy("word").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    return out.where(F.col("tf") >= min_tf)
+
+
+def vocab_stats_sql(min_tf: int = 1) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+)
+SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM w GROUP BY word HAVING COUNT(*) >= {min_tf}
+"""
+
+
 def decontaminate(
     documents: DataFrame, benchmark: DataFrame, k: int = 3
 ) -> DataFrame:

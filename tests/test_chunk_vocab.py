@@ -1,0 +1,92 @@
+"""Unit semantics for chunk_documents (training-window packing) and
+vocab_stats (tf/df vocabulary table). Driver-gate parity is covered by
+test_queries_duckdb.py; these pin the windowing math itself."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+from sparkextract import textops  # noqa: E402
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_windows_and_overlap(spark):
+    # 10 words, chunk 4, overlap 1 -> stride 3 -> starts 0,3,6,9
+    words = " ".join(f"w{i}" for i in range(10))
+    rows = textops.chunk_documents(_df(spark, [(1, words)]), chunk_words=4, overlap=1)
+    got = {r.chunk_idx: (r.chunk_text, r.n_words) for r in rows.collect()}
+    assert got == {
+        0: ("w0 w1 w2 w3", 4),
+        1: ("w3 w4 w5 w6", 4),
+        2: ("w6 w7 w8 w9", 4),
+        3: ("w9", 1),  # tail clamped, never dropped
+    }
+    # consecutive chunks share exactly `overlap` words
+    assert got[0][0].split()[-1] == got[1][0].split()[0]
+
+
+def test_chunk_short_doc_single_window(spark):
+    rows = textops.chunk_documents(_df(spark, [(1, "a b")]), chunk_words=64, overlap=8)
+    got = rows.collect()
+    assert len(got) == 1 and got[0].chunk_text == "a b" and got[0].n_words == 2
+
+
+def test_chunk_invalid_overlap_raises(spark):
+    with pytest.raises(ValueError):
+        textops.chunk_documents(_df(spark, [(1, "a")]), chunk_words=4, overlap=4)
+
+
+def test_chunk_reconstructs_document(spark):
+    """Non-overlapped chunking partitions the word stream exactly."""
+    words = " ".join(f"w{i}" for i in range(100))
+    rows = textops.chunk_documents(_df(spark, [(1, words)]), chunk_words=7, overlap=0)
+    ordered = [r.chunk_text for r in sorted(rows.collect(), key=lambda r: r.chunk_idx)]
+    assert " ".join(ordered) == words
+
+
+def test_chunk_plan_is_narrow(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        textops.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_quality_classifier_exact_score(spark):
+    """Score equals the hand-computed integer dot product of gram
+    bucket counts with the deterministic weight vector."""
+    import hashlib
+
+    w = textops._classifier_weights()
+    text = "alpha beta alpha"
+    grams = ["alpha", "beta", "alpha", "alpha beta", "beta alpha"]
+    want = sum(w[int(hashlib.md5(g.encode()).hexdigest()[:2], 16)] for g in grams)
+    rows = textops.quality_classifier(_df(spark, [(1, text)])).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_feats == 5 and r.score == want and r["pass"] == (want >= 0)
+
+
+def test_quality_classifier_plan(spark):
+    """One combinable exchange (the doc_id groupBy); the weight table
+    joins as a broadcast, never a shuffle."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        textops.quality_classifier(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # hashpartitioning exchanges: exactly the aggregation's
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial+final pair
+
+
+def test_vocab_stats_tf_df(spark):
+    df = _df(spark, [(1, "a b a"), (2, "b c"), (3, "b")])
+    got = {r.word: (r.tf, r.df) for r in textops.vocab_stats(df).collect()}
+    assert got == {"a": (2, 1), "b": (3, 3), "c": (1, 1)}

@@ -131,6 +131,64 @@ def test_relational_path_is_map_only(spark, hdf):
     assert "Exchange" not in plan2
 
 
+def test_extract_html_turns_single_exchange(spark):
+    """North-rule shape: per-turn extraction must cost exactly ONE
+    exchange (the conv_id ordering window) — same census as the fused
+    PDF pipeline."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        H.extract_html_turns(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
+def test_extract_html_turns_stable_ordering(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = H.extract_html_turns(docs).collect()
+    by_conv: dict = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append((r.turn_seq, r.turn_idx))
+    for conv, seqs in by_conv.items():
+        seqs.sort()
+        # turn_seq is dense 1..n and follows turn_idx order
+        assert [s for s, _ in seqs] == list(range(1, len(seqs) + 1))
+        assert [t for _, t in seqs] == sorted(t for _, t in seqs)
+
+
+def test_html_extract_stream_matches_batch(spark, tmp_path):
+    """Stateless extractor under Structured Streaming == batch, row for
+    row (one definition, two arrival modes)."""
+    from sparkextract.streaming import html_extract_stream
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "src_docs")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        html_extract_stream(stream)
+        .writeStream.format("memory")
+        .queryName("html_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_html"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.doc_id: (r.main_text, r.n_blocks, r.kept_blocks, r.removed_chars)
+        for r in spark.sql("SELECT * FROM html_stream_out").collect()
+    }
+    want = {
+        r.doc_id: (r.main_text, r.n_blocks, r.kept_blocks, r.removed_chars)
+        for r in H.html_main_content(H.documents_as_html(docs)).collect()
+    }
+    assert got == want
+
+
 def test_main_text_contains_no_markup(spark, hdf):
     rows = H.html_main_content(hdf).limit(50).collect()
     assert rows
