@@ -113,6 +113,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_geometry_normalize": lambda s, d: relops.geometry_normalize(_t(s, d, "lineitem")),
         "f6_f7_trunc_round": lambda s, d: relops.trunc_round(_t(s, d, "lineitem")),
         "extract_min_slice": lambda s, d: min_slice(_t(s, d, "documents")),
+        # as-of join (union+window scale phrasing; oracle = DuckDB's
+        # NATIVE ASOF JOIN — an independent implementation)
+        "asof_join": lambda s, d: relops.asof_join(_t(s, d, "events")),
+        # event-time sessionization (30-min gap gaps-and-islands)
+        "sessionize": lambda s, d: relops.sessionize(_t(s, d, "events")),
         # --- training-data ops: dedup / text analysis ---
         "dedup_exact": lambda s, d: textops.exact_dedup(_t(s, d, "documents")),
         "minhash_signature": lambda s, d: textops.minhash_signature(_t(s, d, "documents")),
@@ -538,6 +543,8 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem
 """,
         "extract_min_slice": min_slice_sql(),
+        "asof_join": relops.asof_join_sql(),
+        "sessionize": relops.sessionize_sql(),
         "dedup_exact": """
 SELECT md5(substr(text, 1, 64)) AS key, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
 FROM documents GROUP BY 1

@@ -161,3 +161,135 @@ def conf_envelope(lineitem: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_spans"),
         )
     )
+
+
+def asof_join(events: DataFrame, update_type: str = "signup") -> DataFrame:
+    """As-of join — the operator Spark famously lacks: attach to every
+    event the MOST RECENT at-or-before dimension row for its key. Here
+    the dimension is the per-user stream of ``update_type`` events (an
+    SCD-style profile feed derived from the same table, so the query is
+    self-contained on the driver corpus).
+
+    Scale shape (the union+window phrasing, NOT a range join): tag both
+    sides, union, ONE shuffle on user_id, then a running
+    last-non-null over (ts, side, event_id). Cost is a single exchange +
+    sort regardless of how many events each update covers — the naive
+    theta join is O(events x updates) per key. Ties are deterministic:
+    at equal ts the update sorts first (inclusive as-of), then event_id.
+
+    Output: event_id, user_id, ts_us (epoch micros; ts is NTZ and the
+    session tz is pinned UTC in session.py, so the cast is exact),
+    has_match, asof_value (0.0 when no prior update — NULL-free output
+    hashes portably at the driver; has_match disambiguates). Oracle:
+    DuckDB's NATIVE ``ASOF LEFT JOIN`` — a genuinely independent
+    implementation of the same semantics."""
+    upd = (
+        events.where(F.col("event_type") == update_type)
+        # one row per (user, ts): latest event_id wins (determinism when
+        # two updates share a microsecond)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", "ts", F.lit(0).alias("side"),
+            F.col("event_id"), F.col("value").alias("uval"),
+        )
+    )
+    ev = events.select(
+        "user_id", "ts", F.lit(1).alias("side"), F.col("event_id"),
+        F.lit(None).cast("double").alias("uval"),
+    )
+    u = upd.unionByName(ev)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("av", F.last("uval", ignorenulls=True).over(w))
+        .where(F.col("side") == 1)
+        .select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.col("av").isNotNull().alias("has_match"),
+            F.coalesce("av", F.lit(0.0)).alias("asof_value"),
+        )
+    )
+
+
+def asof_join_sql(update_type: str = "signup") -> str:
+    """DuckDB twin using the native ASOF JOIN (independent of the
+    union+window phrasing — if either side mis-handles ties or
+    inclusivity, the hash breaks)."""
+    return f"""
+WITH upd AS (
+  SELECT user_id, ts, value AS uval,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = '{update_type}'
+),
+upd1 AS (SELECT user_id, ts, uval FROM upd WHERE rn = 1)
+SELECT e.event_id, e.user_id,
+       CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+       u.uval IS NOT NULL AS has_match,
+       coalesce(u.uval, 0.0) AS asof_value
+FROM events e ASOF LEFT JOIN upd1 u
+  ON e.user_id = u.user_id AND e.ts >= u.ts
+"""
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Event-time sessionization (the web-analytics classic): a new
+    session starts when the gap to the previous event of the same user
+    exceeds ``gap_minutes``. Gaps-and-islands: lag + running SUM of
+    session starts — one exchange on user_id.
+
+    Output: event_id, user_id, session_id (1-based per user),
+    event_seq (1-based position within the session)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.unix_micros(F.col("ts").cast("timestamp")) - prev > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    d = events.select(
+        "event_id", "user_id", "ts", new_sess.alias("new_sess")
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    return d.select(
+        "event_id", "user_id", "session_id",
+        F.row_number().over(ws).cast("int").alias("event_seq"),
+    )
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH d AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS session_id
+  FROM d
+)
+SELECT event_id, user_id, session_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS INT) AS event_seq
+FROM s
+"""

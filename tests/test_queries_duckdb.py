@@ -103,7 +103,12 @@ def _norm(v):
 
 def _rows_to_set(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+    # NULL-safe sort: key each cell as (is_null, typename, value) so
+    # mixed None/float columns don't break Python's comparison
+    return sorted(
+        (tuple(_norm(r[i]) for i in idx) for r in rows),
+        key=lambda t: tuple((v is None, str(type(v)), "" if v is None else v) for v in t),
+    )
 
 
 QUERY_NAMES = sorted(entrymod.oracle_sql().keys())
