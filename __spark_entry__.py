@@ -20,7 +20,16 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sparkextract import htmlops, relops, simsearch, tasks, textops, urlops, viz  # noqa: E402
+from sparkextract import (  # noqa: E402
+    htmlops,
+    relops,
+    simsearch,
+    sketches,
+    tasks,
+    textops,
+    urlops,
+    viz,
+)
 from sparkextract.docsource import documents_as_transcripts  # noqa: E402
 from sparkextract.fused import extract_fused  # noqa: E402
 from sparkextract.minslice import min_slice, min_slice_sql  # noqa: E402
@@ -118,6 +127,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": lambda s, d: relops.asof_join(_t(s, d, "events")),
         # event-time sessionization (30-min gap gaps-and-islands)
         "sessionize": lambda s, d: relops.sessionize(_t(s, d, "events")),
+        # Spark's NATIVE session_window rollup, oracled by the independent
+        # gaps-and-islands derivation (boundary: end-exclusive, >= gap)
+        "session_window_agg": lambda s, d: relops.session_window_agg(
+            _t(s, d, "events")
+        ),
+        # crawl deny-list: broadcast LEFT ANTI on canonical host
+        "blocklist_filter": lambda s, d: relops.blocklist_filter(
+            urlops.documents_as_urls(_t(s, d, "documents")),
+            s.createDataFrame(
+                [("example1.com",), ("example4.com",)], "host string"
+            ),
+        ),
         # --- training-data ops: dedup / text analysis ---
         "dedup_exact": lambda s, d: textops.exact_dedup(_t(s, d, "documents")),
         "minhash_signature": lambda s, d: textops.minhash_signature(_t(s, d, "documents")),
@@ -175,6 +196,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_turns": lambda s, d: htmlops.extract_html_turns(
             _t(s, d, "documents")
         ),
+        # HLL register table (mergeable distinct-count sketch state) over
+        # the corpus vocabulary; integers only, tiny combinable shuffle
+        "hll_words": lambda s, d: sketches.hll_registers(
+            textops.words(_t(s, d, "documents")), "word"
+        ),
+        # deterministic 10% corpus sample (hash-threshold; same rows at
+        # any parallelism / engine / run — rand() can't promise that)
+        "hash_sample_docs": lambda s, d: sketches.hash_sample(
+            _t(s, d, "documents"), "doc_id", 0.10
+        ).select("doc_id", "n_chars"),
         # fasttext/DCLM-style linear quality classifier: hashed-ngram
         # features x broadcast integer weight table, exact-int score
         "quality_classifier": lambda s, d: textops.quality_classifier(
@@ -545,6 +576,12 @@ FROM lineitem
         "extract_min_slice": min_slice_sql(),
         "asof_join": relops.asof_join_sql(),
         "sessionize": relops.sessionize_sql(),
+        "session_window_agg": relops.session_window_agg_sql(),
+        "blocklist_filter": f"""
+WITH c AS ({urlops.canonical_url_sql("documents", urlops.url_sql_expr()).strip()})
+SELECT doc_id, host FROM c
+WHERE host NOT IN ('example1.com', 'example4.com')
+""",
         "dedup_exact": """
 SELECT md5(substr(text, 1, 64)) AS key, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
 FROM documents GROUP BY 1
@@ -710,6 +747,15 @@ FROM inj
             "documents", htmlops.html_sql_expr()
         ),
         "html_extract_turns": htmlops.extract_html_turns_sql(),
+        "hll_words": sketches.hll_registers_sql(
+            "(SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))"
+            " AS word FROM documents) tw",
+            "word",
+        ),
+        "hash_sample_docs": (
+            "SELECT doc_id, n_chars FROM documents WHERE "
+            + sketches.hash_sample_pred_sql("doc_id", 0.10)
+        ),
         "quality_classifier": textops.quality_classifier_sql(),
         "chunk_documents": textops.chunk_documents_sql(),
         "vocab_stats": textops.vocab_stats_sql(),

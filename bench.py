@@ -30,7 +30,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sparkextract import htmlops, pipeline, relops, simsearch, textops  # noqa: E402
+from sparkextract import (  # noqa: E402
+    htmlops,
+    pipeline,
+    relops,
+    simsearch,
+    sketches,
+    textops,
+    urlops,
+)
 from sparkextract.docsource import (  # noqa: E402
     documents_as_transcripts,
     replicate_documents,
@@ -105,6 +113,15 @@ def run(spark) -> dict:
         lambda: htmlops.html_dom_extract(htmlops.documents_as_html(big_docs)),
     )
     bench("ngram_jaccard", lambda: textops.ngram_jaccard_pairs(docs))
+    bench("quality_classifier", lambda: textops.quality_classifier(big_docs))
+    bench("chunk_documents", lambda: textops.chunk_documents(big_docs))
+    bench("hll_words", lambda: sketches.hll_registers(textops.words(big_docs), "word"))
+    bench("asof_join", lambda: relops.asof_join(t("events")))
+    bench("sessionize", lambda: relops.sessionize(t("events")))
+    bench(
+        "url_dedup",
+        lambda: urlops.url_dedup(urlops.documents_as_urls(big_docs)),
+    )
     bench("gopher_quality", lambda: textops.gopher_quality(big_docs))
     bench("repetition_stats", lambda: textops.repetition_stats(big_docs))
     bench("pii_scrub", lambda: textops.pii_scrub(big_docs))

@@ -293,3 +293,64 @@ SELECT event_id, user_id, session_id,
                                ORDER BY ts, event_id) AS INT) AS event_seq
 FROM s
 """
+
+
+def session_window_agg(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session rollup via Spark's NATIVE ``session_window`` (the
+    Structured-Streaming-ready form of ``sessionize``): events with
+    gaps < gap merge into one window; window_end = last_ts + gap.
+
+    Oracle: the independent gaps-and-islands derivation (group
+    ``sessionize``'s islands, min/max + gap). Boundary semantics pinned
+    by test: an event at EXACTLY start+gap still merges (strict > opens
+    a session) — the twin uses the same strict rule.
+    Output: user_id, start_us, end_us, n_events (epoch micros)."""
+    g = f"{gap_minutes} minutes"
+    tts = F.col("ts").cast("timestamp")
+    return (
+        events.groupBy(F.session_window(tts, g).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("start_us"),
+            F.unix_micros(F.col("sw.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+def session_window_agg_sql(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH d AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d
+)
+SELECT user_id, MIN(tus) AS start_us, MAX(tus) + {gap_us} AS end_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def blocklist_filter(urls: DataFrame, blocked_hosts: DataFrame) -> DataFrame:
+    """Crawl deny-list: drop rows whose canonical host appears in the
+    block table. LEFT ANTI join with the (tiny) list broadcast — at
+    100 TB the corpus side never shuffles; the deny list rides to every
+    executor. Output: doc_id, host (survivors only)."""
+    from pyspark.sql.functions import broadcast
+
+    from .urlops import canonical_url
+
+    c = canonical_url(urls)
+    return c.join(broadcast(blocked_hosts), "host", "left_anti").select(
+        "doc_id", "host"
+    )

@@ -1,0 +1,127 @@
+"""Distributed sketches over the corpus: HyperLogLog registers and
+deterministic hash sampling.
+
+Both are built on the engine-portability rule every cross-engine hash
+in this repo follows (DESIGN.md §5): decisions read md5 HEX CHARACTERS
+(string order == numeric order for fixed-length lowercase hex), never
+engine-parsed integers — so the DuckDB twins are byte-equal.
+
+* ``hll_registers`` — the HLL sketch state (Flajolet+07): bucket = first
+  2 hex chars (256 registers), rho = 1 + number of leading zero BITS in
+  the next 64 bits, computed exactly from hex chars (leading-'0' count ×4
+  + a nibble CASE — no bit parsing). The register table is pure integers
+  and map-side combinable: one tiny shuffle on the 256-key bucket, the
+  canonical mergeable-sketch shape (registers from disjoint partitions /
+  days / shards merge by elementwise MAX — that is the whole point of
+  HLL at 100 TB).
+* ``hll_estimate`` — the scalar estimate from a collected register
+  table, computed driver-side in a FIXED fold order (the harmonic-mean
+  sum is floating point; summing in bucket order keeps it deterministic;
+  256 doubles is not a distributed problem).
+* ``hash_sample`` — deterministic corpus subsampling: keep a row iff the
+  first 4 hex chars of md5(salt:key) are lexicographically below the
+  rate threshold. Same sample at any parallelism, any engine, any run —
+  the property ad-hoc ``rand()`` sampling lacks; map-only plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+# leading zero bits of a nibble given its hex char
+_NIBBLE_LZ = {**{"1": 3, "2": 2, "3": 2}, **{c: 1 for c in "4567"},
+              **{c: 0 for c in "89abcdef"}}
+
+
+def _rho_col() -> F.Column:
+    """1 + leading-zero-bit count of the 64 bits in hex chars 3..18 of a
+    column named ``h`` (the md5 hex digest)."""
+    stripped = F.expr("trim(LEADING '0' FROM substring(h, 3, 16))")
+    zchars = 16 - F.length(stripped)
+    first = F.substring(stripped, 1, 1)
+    nib_lz = F.lit(0)
+    for c, lz in _NIBBLE_LZ.items():
+        nib_lz = F.when(first == c, F.lit(lz)).otherwise(nib_lz)
+    return (
+        F.when(F.length(stripped) == 0, F.lit(65))  # all 64 bits zero
+        .otherwise(zchars * 4 + nib_lz + 1)
+        .cast("int")
+    )
+
+
+def hll_registers(df: DataFrame, key: F.Column | str) -> DataFrame:
+    """(bucket, max_rho): the 256-register HLL state for COUNT DISTINCT
+    of ``key``. Integers only; merge two sketches with elementwise MAX."""
+    keyed = df.select(F.md5(key if isinstance(key, F.Column) else F.col(key)).alias("h"))
+    ix1 = F.instr(F.lit(HEX), F.substring("h", 1, 1)) - 1
+    ix2 = F.instr(F.lit(HEX), F.substring("h", 2, 1)) - 1
+    # h is a materialized column: _rho_col reads it by name
+    d = keyed.select(
+        ((ix1 * 16 + ix2).cast("int")).alias("bucket"), _rho_col().alias("rho")
+    )
+    return d.groupBy("bucket").agg(F.max("rho").alias("max_rho"))
+
+
+def hll_registers_sql(source_sql: str, key_expr: str) -> str:
+    """DuckDB twin of ``hll_registers``."""
+    cases = " ".join(f"WHEN '{c}' THEN {lz}" for c, lz in _NIBBLE_LZ.items())
+    return f"""
+WITH hh AS (SELECT md5({key_expr}) AS h FROM {source_sql}),
+hr AS (
+  SELECT CAST((strpos('{HEX}', substr(h, 1, 1)) - 1) * 16
+              + (strpos('{HEX}', substr(h, 2, 1)) - 1) AS INT) AS bucket,
+         CAST(CASE WHEN length(trim(LEADING '0' FROM substr(h, 3, 16))) = 0
+              THEN 65
+              ELSE (16 - length(trim(LEADING '0' FROM substr(h, 3, 16)))) * 4
+                   + (CASE substr(trim(LEADING '0' FROM substr(h, 3, 16)), 1, 1)
+                      {cases} ELSE 0 END) + 1
+              END AS INT) AS rho
+  FROM hh
+)
+SELECT bucket, MAX(rho) AS max_rho FROM hr GROUP BY bucket
+"""
+
+
+def hll_estimate(registers: list[tuple[int, int]], m: int = 256) -> float:
+    """Scalar HLL estimate from (bucket, max_rho) rows — driver-side,
+    fixed fold order (sorted by bucket) so the double sum is
+    deterministic. Standard Flajolet+07 with the small-range linear
+    counting correction; 256 registers → ~6.5% standard error."""
+    import math
+
+    regs = [0] * m
+    for b, r in registers:
+        regs[b] = r
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = 0.0
+    for r in regs:  # fixed order
+        s += 2.0 ** (-r)
+    est = alpha * m * m / s
+    zeros = regs.count(0)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def hash_sample(
+    df: DataFrame, key: F.Column | str, rate: float, salt: str = "s1"
+) -> DataFrame:
+    """Deterministic sampling: keep iff the first 4 hex chars of
+    md5(salt:key) sort below the rate threshold. Reproducible across
+    runs/partitionings/engines; map-only (fuses into the scan)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    thresh = format(int(rate * 65536), "04x")
+    k = key if isinstance(key, F.Column) else F.col(key)
+    pref = F.substring(F.md5(F.concat(F.lit(salt + ":"), k.cast("string"))), 1, 4)
+    return df.where(pref < F.lit(thresh))
+
+
+def hash_sample_pred_sql(key_expr: str, rate: float, salt: str = "s1") -> str:
+    """The sampling predicate as DuckDB SQL (compose into any WHERE)."""
+    thresh = format(int(rate * 65536), "04x")
+    return (
+        f"substr(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), 1, 4) < '{thresh}'"
+    )

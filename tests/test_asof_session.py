@@ -78,3 +78,25 @@ def test_sessionize_boundary_exactly_gap(spark):
     df = _ev(spark, [(0, 0, 1, "click", 0.0), (1, 1800, 1, "click", 0.0)])
     got = {r.event_id: r.session_id for r in relops.sessionize(df).collect()}
     assert got[1] == 1
+
+
+def test_session_window_boundary_exactly_gap(spark):
+    """Empirically pinned: Spark MERGES an event arriving at exactly
+    start+gap into the window (new session requires a STRICTLY larger
+    gap) — the DuckDB twin uses the same strict > rule."""
+    df = _ev(spark, [(0, 0, 1, "click", 0.0), (1, 1800, 1, "click", 0.0)])
+    rows = relops.session_window_agg(df).collect()
+    assert len(rows) == 1 and rows[0].n_events == 2
+
+
+def test_session_window_matches_sessionize_islands(spark):
+    """Away from the exact boundary the two derivations agree: same
+    number of sessions per user, same event counts."""
+    df = _ev(spark, [
+        (0, 0, 1, "click", 0.0), (1, 60, 1, "click", 0.0),
+        (2, 60 + 31 * 60, 1, "click", 0.0), (3, 0, 2, "click", 0.0),
+    ])
+    sw = sorted((r.user_id, r.n_events) for r in relops.session_window_agg(df).collect())
+    sess = relops.sessionize(df).groupBy("user_id", "session_id").count()
+    gi = sorted((r.user_id, r["count"]) for r in sess.collect())
+    assert sw == gi

@@ -1,0 +1,98 @@
+"""HLL register sketch + deterministic hash sampling: rho correctness
+vs a bit-level Python reference, estimate accuracy vs exact distinct,
+mergeability, and sampling determinism across parallelism."""
+
+import hashlib
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkextract import sketches, textops  # noqa: E402
+
+SF = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _py_rho(value: str) -> tuple[int, int]:
+    """Reference (bucket, rho) computed at the BIT level from the md5."""
+    h = hashlib.md5(value.encode()).hexdigest()
+    bucket = int(h[:2], 16)
+    bits64 = int(h[2:18], 16)
+    if bits64 == 0:
+        return bucket, 65
+    return bucket, 64 - bits64.bit_length() + 1
+
+
+def test_rho_matches_bitlevel_reference(spark):
+    vals = [f"v{i}" for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    got = {
+        r.bucket: r.max_rho
+        for r in sketches.hll_registers(df, "k").collect()
+    }
+    want: dict = {}
+    for v in vals:
+        b, r = _py_rho(v)
+        want[b] = max(want.get(b, 0), r)
+    assert got == want
+
+
+def test_estimate_within_hll_error(spark):
+    n = 5000
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)], "k string")
+    regs = [(r.bucket, r.max_rho) for r in sketches.hll_registers(df, "k").collect()]
+    est = sketches.hll_estimate(regs)
+    # 256 registers -> ~6.5% standard error; allow 4 sigma
+    assert abs(est - n) / n < 0.26
+
+
+def test_registers_merge_by_max(spark):
+    df = spark.createDataFrame([(f"m{i}",) for i in range(3000)], "k string")
+    half1 = df.limit(1500)
+    half2 = df.subtract(half1)
+    r_all = {
+        r.bucket: r.max_rho for r in sketches.hll_registers(df, "k").collect()
+    }
+    r1 = {r.bucket: r.max_rho for r in sketches.hll_registers(half1, "k").collect()}
+    r2 = {r.bucket: r.max_rho for r in sketches.hll_registers(half2, "k").collect()}
+    merged: dict = dict(r1)
+    for b, r in r2.items():
+        merged[b] = max(merged.get(b, 0), r)
+    assert merged == r_all
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    s1 = sorted(r.doc_id for r in sketches.hash_sample(docs, "doc_id", 0.2).collect())
+    # same sample at a different parallelism
+    s2 = sorted(
+        r.doc_id
+        for r in sketches.hash_sample(docs.repartition(13), "doc_id", 0.2).collect()
+    )
+    assert s1 == s2 and s1
+    # rate within binomial 4-sigma
+    import math
+
+    sigma = math.sqrt(n * 0.2 * 0.8)
+    assert abs(len(s1) - 0.2 * n) < 4 * sigma + 1
+    # nested property: a 10% sample is a subset of the 20% sample
+    s3 = set(r.doc_id for r in sketches.hash_sample(docs, "doc_id", 0.1).collect())
+    assert s3 <= set(s1)
+
+
+def test_hash_sample_bad_rate(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError):
+        sketches.hash_sample(docs, "doc_id", 1.5)
+
+
+def test_hll_words_plan_tiny_shuffle(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = sketches.hll_registers(textops.words(docs), "word")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one partial+final agg pair on the 256-key bucket; no join anywhere
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
