@@ -201,6 +201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_words": lambda s, d: sketches.hll_registers(
             textops.words(_t(s, d, "documents")), "word"
         ),
+        # count-min sketch state (SUM-mergeable word-frequency counters)
+        "cms_words": lambda s, d: sketches.cms_registers(
+            textops.words(_t(s, d, "documents")), "word"
+        ),
         # deterministic 10% corpus sample (hash-threshold; same rows at
         # any parallelism / engine / run — rand() can't promise that)
         "hash_sample_docs": lambda s, d: sketches.hash_sample(
@@ -748,6 +752,11 @@ FROM inj
         ),
         "html_extract_turns": htmlops.extract_html_turns_sql(),
         "hll_words": sketches.hll_registers_sql(
+            "(SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))"
+            " AS word FROM documents) tw",
+            "word",
+        ),
+        "cms_words": sketches.cms_registers_sql(
             "(SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))"
             " AS word FROM documents) tw",
             "word",

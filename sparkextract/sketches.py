@@ -1,5 +1,5 @@
-"""Distributed sketches over the corpus: HyperLogLog registers and
-deterministic hash sampling.
+"""Distributed sketches over the corpus: HyperLogLog registers,
+count-min frequency counters, and deterministic hash sampling.
 
 Both are built on the engine-portability rule every cross-engine hash
 in this repo follows (DESIGN.md §5): decisions read md5 HEX CHARACTERS
@@ -125,3 +125,68 @@ def hash_sample_pred_sql(key_expr: str, rate: float, salt: str = "s1") -> str:
     return (
         f"substr(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), 1, 4) < '{thresh}'"
     )
+
+
+# ------------------------------------------------------------ count-min
+CMS_DEPTH = 4      # hash rows (md5 seeded 0..3)
+CMS_WIDTH = 1024   # buckets per row: first e hex chars... 1024 = 16^2*4
+
+
+def cms_registers(df: DataFrame, key: F.Column | str) -> DataFrame:
+    """Count-min sketch state (Cormode-Muthukrishnan'05) for item
+    frequencies of ``key``: depth 4 × width 1024 counters.
+
+    Row r's bucket = first 2.5 hex chars of md5(r:key) — exactly
+    10 bits read as hex-char positions (two full chars ×4 bits + the
+    high 2 bits of the third), integer arithmetic only. Counters are
+    SUM-mergeable across shards/days (the sketch property that matters
+    at 100 TB); one combinable shuffle on the tiny (row, bucket) key
+    space (4×1024). Estimate = min over rows of the counter — see
+    ``cms_estimate``; always an over-count, never under."""
+    k = key if isinstance(key, F.Column) else F.col(key)
+    rows = []
+    for r in range(CMS_DEPTH):
+        h = F.md5(F.concat(F.lit(f"{r}:"), k))
+        ix = lambda i: F.instr(F.lit(HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+        bucket = (ix(1) * 64 + ix(2) * 4 + (ix(3) - ix(3) % 4) / 4).cast("int")
+        rows.append(
+            df.select(F.lit(r).alias("row"), bucket.alias("bucket"))
+        )
+    u = rows[0]
+    for d in rows[1:]:
+        u = u.unionByName(d)
+    return u.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_registers_sql(source_sql: str, key_expr: str) -> str:
+    """DuckDB twin of ``cms_registers``."""
+    parts = []
+    for r in range(CMS_DEPTH):
+        h = f"md5('{r}:' || {key_expr})"
+        ix = lambda i: f"(strpos('{HEX}', substr({h}, {i}, 1)) - 1)"  # noqa: E731
+        parts.append(
+            f"SELECT {r} AS row, CAST({ix(1)} * 64 + {ix(2)} * 4 + "
+            f"CAST(({ix(3)} - {ix(3)} % 4) / 4 AS INT) AS INT) AS bucket "
+            f"FROM {source_sql}"
+        )
+    body = " UNION ALL ".join(parts)
+    return f"""
+WITH cms AS ({body})
+SELECT row, bucket, COUNT(*) AS n FROM cms GROUP BY row, bucket
+"""
+
+
+def cms_estimate(registers: list[tuple[int, int, int]], key_value: str) -> int:
+    """Point frequency estimate for one item from collected (row,
+    bucket, n) rows: min over depth rows of that item's counter."""
+    import hashlib
+
+    table = {(r, b): n for r, b, n in registers}
+    est = None
+    for r in range(CMS_DEPTH):
+        h = hashlib.md5(f"{r}:{key_value}".encode()).hexdigest()
+        ixs = [HEX.index(c) for c in h[:3]]
+        bucket = ixs[0] * 64 + ixs[1] * 4 + (ixs[2] - ixs[2] % 4) // 4
+        n = table.get((r, bucket), 0)
+        est = n if est is None else min(est, n)
+    return int(est or 0)

@@ -96,3 +96,42 @@ def test_hll_words_plan_tiny_shuffle(spark):
     # one partial+final agg pair on the 256-key bucket; no join anywhere
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def _py_cms_bucket(r: int, value: str) -> int:
+    h = hashlib.md5(f"{r}:{value}".encode()).hexdigest()
+    i = [sketches.HEX.index(c) for c in h[:3]]
+    return i[0] * 64 + i[1] * 4 + i[2] // 4
+
+
+def test_cms_matches_reference_and_bounds(spark):
+    """Registers equal a Python reference; estimates never undercount
+    and are exact for items far above the collision noise floor."""
+    vals = [("hot",)] * 500 + [(f"cold{i}",) for i in range(2000)]
+    df = spark.createDataFrame(vals, "k string")
+    regs = [(r.row, r.bucket, r.n) for r in sketches.cms_registers(df, "k").collect()]
+    want: dict = {}
+    for (v,) in vals:
+        for r in range(sketches.CMS_DEPTH):
+            kk = (r, _py_cms_bucket(r, v))
+            want[kk] = want.get(kk, 0) + 1
+    assert {(r, b): n for r, b, n in regs} == want
+    # point estimates: >= truth always; 'hot' ~exact (noise << 500)
+    est_hot = sketches.cms_estimate(regs, "hot")
+    assert 500 <= est_hot <= 500 + 2500 // 1024 * 8 + 50
+    for v in ("cold7", "cold1999", "absent"):
+        truth = 1 if v.startswith("cold") else 0
+        assert sketches.cms_estimate(regs, v) >= truth
+
+
+def test_cms_merges_by_sum(spark):
+    df = spark.createDataFrame([(f"m{i % 40}",) for i in range(400)], "k string")
+    half1 = df.limit(200)
+    half2 = df.exceptAll(half1)  # multiset complement (dup keys!)
+    r_all = {(r.row, r.bucket): r.n for r in sketches.cms_registers(df, "k").collect()}
+    r1 = {(r.row, r.bucket): r.n for r in sketches.cms_registers(half1, "k").collect()}
+    r2 = {(r.row, r.bucket): r.n for r in sketches.cms_registers(half2, "k").collect()}
+    merged = dict(r1)
+    for k, n in r2.items():
+        merged[k] = merged.get(k, 0) + n
+    assert merged == r_all
