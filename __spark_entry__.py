@@ -284,6 +284,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus_v2": lambda s, d: simsearch.training_corpus_v2(
             _pii_injected(s, d), _t(s, d, "embeddings")
         ),
+        # v3 capstone: + classifier gate and training-window chunking;
+        # output = per-CHUNK rows with md5-pinned chunk text
+        "training_corpus_v3": lambda s, d: simsearch.training_corpus_v3(
+            _pii_injected(s, d), _t(s, d, "embeddings")
+        ),
         # END-TO-END training-data path: extraction -> near-dup dedup ->
         # quality gate -> token accounting, text pinned by md5
         "pipeline_dedup_extract": lambda s, d: textops.training_corpus(
@@ -869,6 +874,9 @@ SELECT doc_id, n_members FROM (
         "cosine_neardup_ivf": simsearch.cosine_neardup_ivf_sql(),
         "semdedup": simsearch.semdedup_sql(),
         "training_corpus_v2": simsearch.training_corpus_v2_sql(
+            source_cte=_PII_INJ_CTE
+        ),
+        "training_corpus_v3": simsearch.training_corpus_v3_sql(
             source_cte=_PII_INJ_CTE
         ),
         "decontaminate": """

@@ -830,6 +830,107 @@ FROM keep k JOIN sem s ON s.doc_id = k.doc_id
 """
 
 
+
+def training_corpus_v3(
+    documents: DataFrame, embeddings: DataFrame, threshold: float = 0.35,
+    n_cells: int = 8, iters: int = 2, nprobe: int = 2,
+    chunk_words: int = 64, overlap: int = 8,
+) -> DataFrame:
+    """The round-3 capstone composition — every stage of a modern
+    LLM training-data pipeline, each individually hash-green, chained:
+
+        Gopher rule gate  AND  linear quality-classifier gate (map +
+        broadcast-weights join) → PII scrub → SEMANTIC dedup (semdedup
+        representatives) → exact dedup on scrubbed text → training-window
+        CHUNKING of the surviving corpus.
+
+    Output: one row per training chunk — (doc_id, chunk_idx, n_words,
+    chunk_fp, n_members). chunk_fp = md5 of the chunk text pins the
+    actual emitted tokens through the whole chain.
+
+    Plan: two fused scalar passes + one broadcast join (gates), the
+    semdedup keyed joins, one md5 shuffle (exact dedup), then the
+    narrow chunk explode — nothing all-pairs, nothing per-row Python."""
+    from .textops import (
+        _gopher_pass_col,
+        chunk_documents,
+        pii_scrub,
+        quality_classifier,
+    )
+
+    qc = quality_classifier(documents).where(F.col("pass")).select("doc_id")
+    gated = documents.where(_gopher_pass_col()).join(qc, "doc_id")
+    scrubbed = pii_scrub(gated).select("doc_id", "scrubbed")
+    reps = semdedup(embeddings, threshold, n_cells, iters, nprobe)
+    sem = scrubbed.join(reps, "doc_id")
+    keep = sem.groupBy(F.md5("scrubbed").alias("text_fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = keep.join(sem, "doc_id").select(
+        "doc_id", F.col("scrubbed").alias("text"), "n_members"
+    )
+    chunks = chunk_documents(kept, chunk_words, overlap)
+    return chunks.join(kept.select("doc_id", "n_members"), "doc_id").select(
+        "doc_id", "chunk_idx",
+        F.md5("chunk_text").alias("chunk_fp"), "n_words", "n_members",
+    )
+
+
+def training_corpus_v3_sql(
+    threshold: float = 0.35, n_cells: int = 8, iters: int = 2,
+    nprobe: int = 2, chunk_words: int = 64, overlap: int = 8,
+    source_cte: str | None = None,
+) -> str:
+    """DuckDB twin of ``training_corpus_v3``: stage twins embedded as
+    nested-WITH subqueries (legal in DuckDB; inner WITH sees outer
+    CTEs), so each stage's oracle text is reused verbatim."""
+    from .textops import (
+        chunk_documents_sql,
+        gopher_pass_sql,
+        pii_scrub_sql_expr,
+        quality_classifier_sql,
+    )
+
+    body = _semdedup_cte_body(threshold, n_cells, iters, nprobe)
+    src = "documents"
+    src_cte = ""
+    if source_cte is not None:
+        src = "src_docs"
+        src_cte = f"src_docs AS ({source_cte}),\n"
+    qc = quality_classifier_sql(src, "text").strip()
+    chunk = chunk_documents_sql(chunk_words, overlap, "kept3", "text").strip()
+    return f"""
+WITH RECURSIVE {src_cte}{body},
+qcpass AS (
+  SELECT doc_id FROM ({qc}) q WHERE q.pass
+),
+gated3 AS (
+  SELECT d.doc_id, d.text FROM {src} d
+  JOIN qcpass USING (doc_id)
+  WHERE {gopher_pass_sql("d.text")}
+),
+scrub3 AS (
+  SELECT doc_id, {pii_scrub_sql_expr("text")} AS scrubbed FROM gated3
+),
+sem3 AS (
+  SELECT s.doc_id, s.scrubbed, r.n_members
+  FROM scrub3 s JOIN sem_reps r USING (doc_id)
+),
+keep3 AS (
+  SELECT md5(scrubbed) AS text_fp, MIN(doc_id) AS doc_id
+  FROM sem3 GROUP BY 1
+),
+kept3 AS (
+  SELECT k.doc_id, s.scrubbed AS text, s.n_members
+  FROM keep3 k JOIN sem3 s ON s.doc_id = k.doc_id
+),
+chunks3 AS ({chunk})
+SELECT c.doc_id, c.chunk_idx, md5(c.chunk_text) AS chunk_fp,
+       c.n_words, k.n_members
+FROM chunks3 c JOIN kept3 k USING (doc_id)
+"""
+
+
 def cosine_neardup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Embedding-cosine near-dup pairs: cos(a,b) > t via the integer-exact
     inequality dot² · 10⁶ > t²·10⁶ · |a|²·|b|² (no sqrt, no FP division).

@@ -608,8 +608,11 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_classifier_sql() -> str:
-    """DuckDB twin (same Python-generated weight constants)."""
+def quality_classifier_sql(
+    source_sql: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin (same Python-generated weight constants; source
+    parameterized for composition)."""
     w = _classifier_weights()
     hexc = "0123456789abcdef"
     vals = ", ".join(
@@ -618,8 +621,8 @@ def quality_classifier_sql() -> str:
     return f"""
 WITH wt(feat, weight) AS (VALUES {vals}),
 wd AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-  FROM documents
+  SELECT doc_id, list_filter(string_split({text_col}, ' '), x -> x <> '') AS w
+  FROM {source_sql}
 ),
 grams AS (
   SELECT doc_id, unnest(w) AS gram FROM wd
@@ -674,13 +677,17 @@ def chunk_documents(
     )
 
 
-def chunk_documents_sql(chunk_words: int = 64, overlap: int = 8) -> str:
-    """DuckDB twin of ``chunk_documents``."""
+def chunk_documents_sql(
+    chunk_words: int = 64, overlap: int = 8,
+    source_sql: str = "documents", text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``chunk_documents`` (source/text parameterized so
+    composed pipelines can chunk an upstream CTE)."""
     stride = chunk_words - overlap
     return f"""
 WITH w AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-  FROM documents
+  SELECT doc_id, list_filter(string_split({text_col}, ' '), x -> x <> '') AS w
+  FROM {source_sql}
 ),
 s AS (
   SELECT doc_id, w,

@@ -90,3 +90,28 @@ def test_vocab_stats_tf_df(spark):
     df = _df(spark, [(1, "a b a"), (2, "b c"), (3, "b")])
     got = {r.word: (r.tf, r.df) for r in textops.vocab_stats(df).collect()}
     assert got == {"a": (2, 1), "b": (3, 3), "c": (1, 1)}
+
+
+def test_training_corpus_v3_stages_bite(spark):
+    """Capstone composition: every stage must filter/expand non-vacuously
+    on the synthetic corpus (a gate that never fires proves nothing)."""
+    from pyspark.sql import functions as F
+
+    from sparkextract import simsearch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = docs.count()
+    g = docs.where(textops._gopher_pass_col()).count()
+    qc = textops.quality_classifier(docs).where(F.col("pass")).count()
+    out = simsearch.training_corpus_v3(docs, emb)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("chunks"),
+        F.countDistinct("doc_id").alias("docs_kept"),
+        F.max("chunk_idx").alias("max_idx"),
+    ).collect()[0]
+    assert 0 < g < n            # gopher gate bites
+    assert 0 < qc < g           # classifier gate bites beyond gopher
+    assert 0 < stats.docs_kept < qc   # dedup stages bite
+    assert stats.max_idx >= 1   # chunking actually splits some doc
+    assert stats.chunks > stats.docs_kept
