@@ -1,7 +1,7 @@
 import sys
 sys.path.insert(0, "/root/repo")
 from sparkextract.session import build_session
-from sparkextract import synth, pipeline, schema, textops, simsearch, htmlops, urlops
+from sparkextract import synth, pipeline, schema, textops, simsearch, htmlops, urlops, relops, sketches
 from sparkextract.fused import extract_fused
 from sparkextract.minslice import min_slice
 
@@ -65,6 +65,18 @@ sections = [
      "Canonicalization is scalar expressions fused into the scan; the "
      "dedup groupBy on canonical_url is the single combinable "
      "exchange."),
+    ("As-of join (union + window phrasing)",
+     relops.asof_join(spark.read.parquet("/root/testdata/sf0.001/events.parquet")),
+     "No range or nested-loop join: both sides union into ONE user_id "
+     "exchange, then a running last-non-null picks the most recent "
+     "at-or-before update. Cost is independent of how many events each "
+     "update covers."),
+    ("HLL distinct-count sketch registers",
+     sketches.hll_registers(
+         textops.words(docs), "word"),
+     "Map-side rho/bucket math, then a partial+final agg on a 256-key "
+     "space: the shuffle carries at most 256 rows per map task. "
+     "Registers from disjoint shards merge by MAX."),
     ("End-to-end training-data pipeline (extract -> dedup -> gate -> tokens)",
      textops.training_corpus(docs),
      "Composition stays keyed: the extraction aggregation, the LSH "
