@@ -321,6 +321,144 @@ def decode_gif(data: bytes) -> np.ndarray:
     return palette[idx].reshape(ih, iw, 3)
 
 
+
+
+# --------------------------------------------------------------- BMP
+BMP_MAGIC = b"BM"
+
+
+def encode_bmp(arr: "np.ndarray") -> bytes:
+    """Encode (h,w,3) RGB or (h,w) grayscale uint8 as an uncompressed
+    BI_RGB Windows-V3 BMP (24-bit; gray expands to equal channels).
+    Bottom-up rows, 4-byte row padding — the spec's defaults."""
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    h, w, _ = arr.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        for x in range(w):
+            r, g, b = arr[y, x]
+            body += bytes((int(b), int(g), int(r)))  # BGR order
+        body += b"\x00" * pad
+    pixoff = 14 + 40
+    size = pixoff + len(body)
+    header = (
+        BMP_MAGIC + struct.pack("<IHHI", size, 0, 0, pixoff)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    )
+    return header + bytes(body)
+
+
+def decode_bmp(data: bytes) -> "np.ndarray":
+    """Decode uncompressed 24-bit (BI_RGB) and 8-bit-palette BMPs —
+    the two layouts that cover essentially every .bmp in the wild.
+    Handles bottom-up AND top-down (negative height) row order."""
+    if data[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP")
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    pixoff = struct.unpack_from("<I", data, 10)[0]
+    hdrsz = struct.unpack_from("<I", data, 14)[0]
+    if hdrsz < 40:
+        raise ValueError("pre-V3 BMP header unsupported")
+    w, hraw = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    if w <= 0 or hraw == 0 or planes != 1:
+        raise ValueError("bad BMP dimensions")
+    topdown = hraw < 0
+    h = -hraw if topdown else hraw
+    if bpp == 24:
+        row = w * 3
+        stride = (row + 3) & ~3
+        need = pixoff + stride * h
+        if len(data) < need:
+            raise ValueError("truncated BMP pixels")
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for i in range(h):
+            y = i if topdown else h - 1 - i
+            off = pixoff + i * stride
+            line = np.frombuffer(data, dtype=np.uint8, count=row, offset=off)
+            out[y] = line.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+        return out
+    if bpp == 8:
+        ncolors = struct.unpack_from("<I", data, 46)[0] or 256
+        pal_off = 14 + hdrsz
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=ncolors * 4, offset=pal_off
+        ).reshape(ncolors, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+        stride = (w + 3) & ~3
+        if len(data) < pixoff + stride * h:
+            raise ValueError("truncated BMP pixels")
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for i in range(h):
+            y = i if topdown else h - 1 - i
+            idx = np.frombuffer(data, dtype=np.uint8, count=w,
+                                offset=pixoff + i * stride)
+            if idx.max(initial=0) >= ncolors:
+                raise ValueError("palette index out of range")
+            out[y] = pal[idx]
+        return out
+    raise ValueError(f"{bpp}-bpp BMP unsupported")
+
+
+# --------------------------------------------------------------- PNM
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    """Binary PPM (P6) for (h,w,3) RGB, or PGM (P5) for (h,w) gray."""
+    if arr.ndim == 2:
+        h, w = arr.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_pnm(data: bytes) -> "np.ndarray":
+    """Decode binary PGM (P5) / PPM (P6), the netpbm workhorses:
+    whitespace-and-comment tokenized header, maxval <= 255."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated PNM header")
+        c = data[pos:pos + 1]
+        if c == b"#":  # comment to EOL
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated PNM comment")
+            pos = nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end:end + 1].isspace():
+                end += 1
+            tok = data[pos:end]
+            if not tok.isdigit():
+                raise ValueError("bad PNM header token")
+            vals.append(int(tok))
+            pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if not (0 < maxval <= 255) or w <= 0 or h <= 0:
+        raise ValueError("unsupported PNM header values")
+    ch = 3 if data[:2] == b"P6" else 1
+    need = w * h * ch
+    px = np.frombuffer(data, dtype=np.uint8, count=-1, offset=pos)
+    if len(px) < need:
+        raise ValueError("truncated PNM pixels")
+    px = px[:need]
+    if maxval != 255:  # rescale exactly like netpbm tools
+        px = (px.astype(np.uint16) * 255 // maxval).astype(np.uint8)
+    return px.reshape((h, w, 3) if ch == 3 else (h, w))
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload. PNG, GIF, and JPEG (baseline and
     PROGRESSIVE, grayscale and 4:2:0 color) → REAL stdlib decodes
@@ -336,6 +474,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             from .jpeg import decode_jpeg
 
             return decode_jpeg(bytes(payload))
+        if payload[:2] == BMP_MAGIC:
+            return decode_bmp(bytes(payload))
+        if payload[:2] in (b"P5", b"P6"):
+            return decode_pnm(bytes(payload))
     except (ValueError, IndexError, KeyError, struct.error) as exc:
         # magic bytes matched but the payload isn't a well-formed image
         # (e.g. a hash-derived blob that happens to start with \xff\xd8,
@@ -347,7 +489,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     else:
         if not fake:
             raise NotImplementedError(
-                "non-PNG/GIF/JPEG image decode requires an imaging library "
+                "non-PNG/GIF/JPEG/BMP/PNM image decode requires an imaging "
+                "library "
                 "not present in this environment; pass fake=True for the "
                 "stand-in"
             )

@@ -221,3 +221,78 @@ def test_synth_media_includes_adpcm(spark):
     # and audio_features decodes every one (no drops)
     rows = multimodal.audio_features(media).collect()
     assert sorted(r.media_id for r in rows) == sorted(payloads)
+
+
+# ------------------------------------------------------------ BMP / PNM
+@given(
+    st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(a)), a)
+
+
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_pnm_roundtrip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(multimodal.decode_pnm(multimodal.encode_ppm(a)), a)
+    g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    assert np.array_equal(multimodal.decode_pnm(multimodal.encode_ppm(g)), g)
+
+
+def test_bmp_topdown_and_palette():
+    # top-down: negative height flips row order vs the bottom-up default
+    a = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    data = bytearray(multimodal.encode_bmp(a))
+    h = int.from_bytes(data[22:26], "little")
+    data[22:26] = (-h).to_bytes(4, "little", signed=True)
+    # rows must be reinterpreted in file order (which encode wrote
+    # bottom-up), so decoding the flipped header flips the image
+    flipped = multimodal.decode_bmp(bytes(data))
+    assert np.array_equal(flipped, a[::-1])
+    # 8-bit palette form
+    pal = b"".join(bytes((i, 255 - i, i ^ 0x5A, 0)) for i in range(256))
+    idx = bytes([0, 1, 2, 255])  # one row, w=4 (stride already 4)
+    hdr = (b"BM" + (14 + 40 + 1024 + 4).to_bytes(4, "little") + b"\x00" * 4
+           + (14 + 40 + 1024).to_bytes(4, "little")
+           + (40).to_bytes(4, "little")
+           + (4).to_bytes(4, "little", signed=True)
+           + (1).to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+           + b"\x00" * 4 + (4).to_bytes(4, "little") + b"\x00" * 16)
+    out = multimodal.decode_bmp(hdr + pal + idx)
+    assert out.shape == (1, 4, 3)
+    # entry 255 stored as (B=255, G=0, R=255^0x5A, A) -> RGB
+    assert tuple(out[0, 3]) == (255 ^ 0x5A, 0, 255)
+
+
+def test_pnm_comment_and_maxval_rescale():
+    p = b"P5\n# generated\n4 2\n100\n" + bytes(range(8))
+    out = multimodal.decode_pnm(p)
+    assert out.shape == (2, 4)
+    assert out[0, 3] == 3 * 255 // 100  # netpbm-exact rescale
+
+
+def test_bmp_pnm_malformed_raise():
+    a = np.zeros((3, 3, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(multimodal.encode_bmp(a)[:20])
+    with pytest.raises(ValueError):
+        multimodal.decode_pnm(b"P6\n3 3\n255\nxy")
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"BM" + b"\x00" * 60)  # zero dims
+    # compressed BMP honestly refused
+    data = bytearray(multimodal.encode_bmp(a))
+    data[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(bytes(data))
+
+
+def test_decode_image_dispatches_bmp_pnm():
+    a = np.full((4, 5, 3), 77, dtype=np.uint8)
+    assert multimodal.decode_image(multimodal.encode_bmp(a)).shape == (4, 5, 3)
+    assert multimodal.decode_image(multimodal.encode_ppm(a)).shape == (4, 5, 3)
