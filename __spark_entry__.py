@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sparkextract import (  # noqa: E402
+    bpe,
     htmlops,
     relops,
     simsearch,
@@ -201,6 +202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_words": lambda s, d: sketches.hll_registers(
             textops.words(_t(s, d, "documents")), "word"
         ),
+        # BPE tokenizer training over the word-frequency table (8 merge
+        # rounds, bounded driver loop like ivf_train; unrolled SQL twin)
+        "bpe_merges": lambda s, d: bpe.bpe_train(_t(s, d, "documents")),
         # count-min sketch state (SUM-mergeable word-frequency counters)
         "cms_words": lambda s, d: sketches.cms_registers(
             textops.words(_t(s, d, "documents")), "word"
@@ -761,6 +765,7 @@ FROM inj
             " AS word FROM documents) tw",
             "word",
         ),
+        "bpe_merges": bpe.bpe_train_sql(),
         "cms_words": sketches.cms_registers_sql(
             "(SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))"
             " AS word FROM documents) tw",
