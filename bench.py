@@ -31,6 +31,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sparkextract import (  # noqa: E402
+    bpe,
     htmlops,
     pipeline,
     relops,
@@ -116,6 +117,12 @@ def run(spark) -> dict:
     bench("quality_classifier", lambda: textops.quality_classifier(big_docs))
     bench("chunk_documents", lambda: textops.chunk_documents(big_docs))
     bench("hll_words", lambda: sketches.hll_registers(textops.words(big_docs), "word"))
+    bench("cms_words", lambda: sketches.cms_registers(textops.words(big_docs), "word"))
+    bench("bpe_merges", lambda: bpe.bpe_train(docs))
+    bench(
+        "html_extract_turns",
+        lambda: htmlops.extract_html_turns(big_docs),
+    )
     bench("asof_join", lambda: relops.asof_join(t("events")))
     bench("sessionize", lambda: relops.sessionize(t("events")))
     bench(
