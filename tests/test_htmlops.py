@@ -196,3 +196,31 @@ def test_main_text_contains_no_markup(spark, hdf):
         # no tags or undecoded entities survive (decoded '<notes>' text may)
         assert "</" not in r.main_text and "<a " not in r.main_text
         assert "&amp;" not in r.main_text and "&lt;" not in r.main_text
+
+
+# ------------------------------------------------------------ fuzzing
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_soup = st.text(
+    alphabet=st.sampled_from(list("<>/ab p&;#!-\"'=\n\t0")), max_size=120
+)
+
+
+@given(_soup)
+@settings(max_examples=200, deadline=None)
+def test_dom_blocks_total_on_tag_soup(s):
+    """The DOM pass is a total function on arbitrary tag soup: never
+    raises, and every emitted block is normalized non-empty text."""
+    blocks = H.dom_blocks(s)
+    for t, l in blocks:
+        assert t == t.strip() and t != ""
+        assert "  " not in t
+        assert l >= 0
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_norm_idempotent(s):
+    n = H._norm(s)
+    assert H._norm(n) == n

@@ -9,6 +9,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
 from sparkextract import urlops as U  # noqa: E402
 
 SF = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
@@ -81,3 +82,29 @@ def test_canonicalization_collapses_variants(spark, udf):
 def test_canonicalizer_is_map_only(spark, udf):
     plan = U.canonical_url(udf)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------ fuzzing
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_urlish = st.text(
+    alphabet=st.sampled_from(list("htps:/.w?&=#ab%12_-~@[]")), max_size=60
+)
+
+
+@given(st.lists(_urlish, min_size=1, max_size=8, unique=True))
+@settings(max_examples=25, deadline=None)
+def test_canonicalize_total_and_idempotent(spark, urls):
+    """Canonicalization never raises on URL-ish garbage, and is
+    IDEMPOTENT: canonicalizing a canonical URL is a no-op (the defining
+    property of a canonical form)."""
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    once = U.canonical_url(df).select(
+        "doc_id", F.col("canonical_url").alias("url")
+    )
+    twice = U.canonical_url(once)
+    for r in twice.collect():
+        assert r.canonical_url == r.url, (r.url, r.canonical_url)
