@@ -165,6 +165,48 @@ def html_extract_stream(doc_stream: DataFrame) -> DataFrame:
     return html_main_content(documents_as_html(doc_stream))
 
 
+def enrich_clicks_stream(
+    events: DataFrame, lookback_minutes: int = 10, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the last Structured
+    Streaming join type this engine exercises: each click joins the
+    purchases of the same user in the preceding ``lookback_minutes``.
+    Both sides carry watermarks so the state store evicts rows older
+    than watermark + lookback (bounded state — the property that
+    matters when both streams are unbounded). The SAME function works
+    on batch DataFrames (no watermark applied there), which is what the
+    batch-equality test exploits.
+
+    Output: click_id, user_id, purchase_id, purchase_value."""
+    is_stream = events.isStreaming
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if is_stream:
+        clicks = clicks.withWatermark("c_ts", watermark)
+        purchases = purchases.withWatermark("p_ts", watermark)
+    cond = (
+        (clicks["c_user"] == purchases["p_user"])
+        & (purchases["p_ts"] <= clicks["c_ts"])
+        & (
+            purchases["p_ts"]
+            >= clicks["c_ts"] - F.expr(f"INTERVAL {lookback_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "click_id", F.col("c_user").alias("user_id"),
+        "purchase_id", "purchase_value",
+    )
+
+
 def windowed_doc_counts(
     stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

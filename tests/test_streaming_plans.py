@@ -258,3 +258,37 @@ def test_quality_scrub_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert 0 < len(got) < docs.count()  # the gate actually filtered
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the same join run as
+    batch, row for row (one join definition, two arrival modes)."""
+    from sparkextract.streaming import enrich_clicks_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src_events")
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        enrich_clicks_stream(stream)
+        .writeStream.format("memory")
+        .queryName("enriched_clicks")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT click_id, user_id, purchase_id, purchase_value "
+            "FROM enriched_clicks"
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in enrich_clicks_stream(events).collect())
+    assert got == want and got  # non-vacuous: some clicks do enrich
