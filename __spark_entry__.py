@@ -225,6 +225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # corpus vocabulary: word -> tf + df (tokenizer/vocab training input)
         "vocab_stats": lambda s, d: textops.vocab_stats(_t(s, d, "documents")),
+        # exact per-source length quantiles (nearest-rank; no approx)
+        "length_quantiles": lambda s, d: textops.length_quantiles(
+            _t(s, d, "documents")
+        ),
         # --- crawl-style URL ops (synthetic URLs per doc: five surface
         # variants per canonical form, so every normalization rule is
         # load-bearing — 500 raw urls collapse to 280 canonical) ---
@@ -778,6 +782,7 @@ FROM inj
         "quality_classifier": textops.quality_classifier_sql(),
         "chunk_documents": textops.chunk_documents_sql(),
         "vocab_stats": textops.vocab_stats_sql(),
+        "length_quantiles": textops.length_quantiles_sql(),
         "url_canonicalize": urlops.canonical_url_sql(
             "documents", urlops.url_sql_expr()
         ),

@@ -759,3 +759,44 @@ def decontaminate(
             (F.coalesce("n_shared_shingles", F.lit(0)) == 0).alias("clean"),
         )
     )
+
+
+def length_quantiles(documents: DataFrame, qs=(50, 90, 99)) -> DataFrame:
+    """EXACT doc-length quantiles per source — corpus QA analytics.
+    percentile_approx is engine-specific; the portable exact phrasing is
+    the classic window rank: value at row ceil(q/100 * n) of the sorted
+    lengths (ordinal/nearest-rank definition, ties broken by doc_id).
+    One exchange on source; at scale the per-source sort is the cost —
+    acceptable because this is an offline QA query, not a hot path."""
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    d = documents.select(
+        "source", "n_chars", "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    picks = None
+    for q in qs:
+        p = d.where(
+            F.col("rn") == F.ceil(F.col("n") * q / 100).cast("int")
+        ).select(
+            "source", F.lit(q).cast("int").alias("q"),
+            F.col("n_chars").cast("bigint").alias("value"),
+        )
+        picks = p if picks is None else picks.unionByName(p)
+    return picks
+
+
+def length_quantiles_sql(qs=(50, 90, 99)) -> str:
+    selects = [
+        f"""SELECT source, {q} AS q, CAST(n_chars AS BIGINT) AS value
+FROM ranked WHERE rn = CAST(ceil(n * {q} / 100) AS INT)"""
+        for q in qs
+    ]
+    return """
+WITH ranked AS (
+  SELECT source, n_chars, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+""" + "\nUNION ALL\n".join(selects)

@@ -115,3 +115,13 @@ def test_training_corpus_v3_stages_bite(spark):
     assert 0 < stats.docs_kept < qc   # dedup stages bite
     assert stats.max_idx >= 1   # chunking actually splits some doc
     assert stats.chunks > stats.docs_kept
+
+
+def test_length_quantiles_exact(spark):
+    rows = [(i, "x", "en", "srcA", 10 * (i + 1)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.q: r.value for r in textops.length_quantiles(df).collect()}
+    # nearest-rank (ceil) over 10 sorted values 10..100
+    assert got == {50: 50, 90: 90, 99: 100}
