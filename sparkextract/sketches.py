@@ -113,6 +113,10 @@ def hash_sample(
     runs/partitionings/engines; map-only (fuses into the scan)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
+    if rate >= 1.0:
+        # format(65536) is 5 hex chars — lexicographic compare against a
+        # 4-char prefix would silently drop rows; rate 1.0 means ALL
+        return df
     thresh = format(int(rate * 65536), "04x")
     k = key if isinstance(key, F.Column) else F.col(key)
     pref = F.substring(F.md5(F.concat(F.lit(salt + ":"), k.cast("string"))), 1, 4)
@@ -121,6 +125,8 @@ def hash_sample(
 
 def hash_sample_pred_sql(key_expr: str, rate: float, salt: str = "s1") -> str:
     """The sampling predicate as DuckDB SQL (compose into any WHERE)."""
+    if rate >= 1.0:
+        return "TRUE"  # see hash_sample: the 5-hex threshold edge
     thresh = format(int(rate * 65536), "04x")
     return (
         f"substr(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), 1, 4) < '{thresh}'"

@@ -135,3 +135,16 @@ def test_cms_merges_by_sum(spark):
     for k, n in r2.items():
         merged[k] = merged.get(k, 0) + n
     assert merged == r_all
+
+
+def test_hash_sample_rate_one_keeps_all(spark):
+    # regression: format(65536,'04x') is 5 hex chars; the lexicographic
+    # prefix compare would silently drop ~94% of rows at rate=1.0
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sketches.hash_sample(docs, "doc_id", 1.0).count() == docs.count()
+    assert sketches.hash_sample_pred_sql("doc_id", 1.0) == "TRUE"
+
+
+def test_hash_sample_rate_zero_keeps_none(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sketches.hash_sample(docs, "doc_id", 0.0).count() == 0
