@@ -44,10 +44,16 @@ from pyspark.sql import functions as F
 # Java ∩ RE2 subset. \b after the tag name keeps <p> from matching <pre>.
 SCRIPT_STYLE_RE = r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>"
 COMMENT_RE = r"(?s)<!--.*?-->"
-_BLOCK_NAMES = (
-    "html|head|body|title|p|div|nav|footer|header|aside|h[1-6]|ul|ol|li"
-    "|table|tr|td|th|section|article|blockquote|pre|br|hr|form"
+# ONE canonical block-tag list; the regex alternation (relational path)
+# and the frozenset (DOM path) both derive from it, so the two paths can
+# never drift apart on what counts as a block boundary.
+BLOCK_TAG_LIST = (
+    "html", "head", "body", "title", "p", "div", "nav", "footer", "header",
+    "aside", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li",
+    "table", "tr", "td", "th", "section", "article", "blockquote", "pre",
+    "br", "hr", "form",
 )
+_BLOCK_NAMES = "|".join(BLOCK_TAG_LIST)
 BLOCK_SPLIT_RE = r"(?i)</?(?:" + _BLOCK_NAMES + r")\b[^>]*>"
 TAG_RE = r"<[^>]+>"
 ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
@@ -234,12 +240,7 @@ FROM hidx
 
 
 # --------------------------------------------------------- DOM variant
-_BLOCK_TAGS = frozenset(
-    ["html", "head", "body", "title", "p", "div", "nav", "footer", "header",
-     "aside", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li", "table",
-     "tr", "td", "th", "section", "article", "blockquote", "pre", "br", "hr",
-     "form"]
-)
+_BLOCK_TAGS = frozenset(BLOCK_TAG_LIST)
 _WS = re.compile(r"(?a)\s+")  # (?a): ASCII \s — matches the Java/RE2 class
 
 

@@ -454,8 +454,8 @@ def decode_pnm(data: bytes) -> "np.ndarray":
     if len(px) < need:
         raise ValueError("truncated PNM pixels")
     px = px[:need]
-    if maxval != 255:  # rescale exactly like netpbm tools
-        px = (px.astype(np.uint16) * 255 // maxval).astype(np.uint8)
+    if maxval != 255:  # netpbm depth conversion ROUNDS (pnmdepth)
+        px = ((px.astype(np.uint32) * 255 + maxval // 2) // maxval).astype(np.uint8)
     return px.reshape((h, w, 3) if ch == 3 else (h, w))
 
 

@@ -171,8 +171,8 @@ def asof_join(events: DataFrame, update_type: str = "signup") -> DataFrame:
     self-contained on the driver corpus).
 
     Scale shape (the union+window phrasing, NOT a range join): tag both
-    sides, union, ONE shuffle on user_id, then a running
-    last-non-null over (ts, side, event_id). Cost is a single exchange +
+    sides, union, ONE shuffle on user_id (verified by plan test), then a
+    running last-non-null over (ts, side, event_id). Cost is one exchange +
     sort regardless of how many events each update covers — the naive
     theta join is O(events x updates) per key. Ties are deterministic:
     at equal ts the update sorts first (inclusive as-of), then event_id.
@@ -183,21 +183,13 @@ def asof_join(events: DataFrame, update_type: str = "signup") -> DataFrame:
     hashes portably at the driver; has_match disambiguates). Oracle:
     DuckDB's NATIVE ``ASOF LEFT JOIN`` — a genuinely independent
     implementation of the same semantics."""
-    upd = (
-        events.where(F.col("event_type") == update_type)
-        # one row per (user, ts): latest event_id wins (determinism when
-        # two updates share a microsecond)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select(
-            "user_id", "ts", F.lit(0).alias("side"),
-            F.col("event_id"), F.col("value").alias("uval"),
-        )
+    # No per-(user, ts) pre-dedup pass: the running last-non-null below
+    # already picks the LATEST update at any ts (same-ts updates sort by
+    # event_id, and last() takes the final one), so the whole join is
+    # genuinely ONE exchange — hashpartitioning(user_id) for the window.
+    upd = events.where(F.col("event_type") == update_type).select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        F.col("event_id"), F.col("value").alias("uval"),
     )
     ev = events.select(
         "user_id", "ts", F.lit(1).alias("side"), F.col("event_id"),

@@ -774,16 +774,19 @@ def length_quantiles(documents: DataFrame, qs=(50, 90, 99)) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
     )
-    picks = None
-    for q in qs:
-        p = d.where(
-            F.col("rn") == F.ceil(F.col("n") * q / 100).cast("int")
-        ).select(
-            "source", F.lit(q).cast("int").alias("q"),
-            F.col("n_chars").cast("bigint").alias("value"),
-        )
-        picks = p if picks is None else picks.unionByName(p)
-    return picks
+    # ONE window pass: explode the quantile literals per row and filter
+    # (a union of per-q branches would re-sort the corpus once per q —
+    # Spark does not share subtrees across union branches)
+    qarr = F.array(*[F.lit(int(q)) for q in qs])
+    e = d.select(
+        "source", "n_chars", "rn", "n", F.explode(qarr).alias("q")
+    )
+    return e.where(
+        F.col("rn") == F.ceil(F.col("n") * F.col("q") / 100).cast("int")
+    ).select(
+        "source", F.col("q").cast("int").alias("q"),
+        F.col("n_chars").cast("bigint").alias("value"),
+    )
 
 
 def length_quantiles_sql(qs=(50, 90, 99)) -> str:

@@ -52,10 +52,10 @@ def test_asof_same_ts_updates_latest_event_id_wins(spark):
 def test_asof_single_exchange(spark):
     df = _ev(spark, [(0, 0, 1, "signup", 1.0), (1, 5, 1, "click", 0.0)])
     plan = relops.asof_join(df)._jdf.queryExecution().executedPlan().toString()
-    # union + ONE user_id window: the per-(user,ts) update dedup window
-    # shares the same hashpartitioning, so <= 2 exchanges total and no
-    # range/nested-loop join anywhere
-    assert plan.count("Exchange hashpartitioning") <= 2
+    # union + ONE user_id window — exactly one exchange, no range or
+    # nested-loop join anywhere (the same-ts tie-break rides inside the
+    # window ordering instead of a separate dedup pass)
+    assert plan.count("Exchange hashpartitioning") == 1
     assert "NestedLoop" not in plan
 
 

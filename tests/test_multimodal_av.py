@@ -274,7 +274,7 @@ def test_pnm_comment_and_maxval_rescale():
     p = b"P5\n# generated\n4 2\n100\n" + bytes(range(8))
     out = multimodal.decode_pnm(p)
     assert out.shape == (2, 4)
-    assert out[0, 3] == 3 * 255 // 100  # netpbm-exact rescale
+    assert out[0, 3] == (3 * 255 + 50) // 100  # netpbm ROUNDING rescale (=8)
 
 
 def test_bmp_pnm_malformed_raise():
