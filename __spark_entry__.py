@@ -205,6 +205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE tokenizer training over the word-frequency table (8 merge
         # rounds, bounded driver loop like ivf_train; unrolled SQL twin)
         "bpe_merges": lambda s, d: bpe.bpe_train(_t(s, d, "documents")),
+        # the trained tokenizer applied back to the vocabulary: per-word
+        # symbol counts after all 8 merges (compression evidence)
+        "bpe_vocab": lambda s, d: bpe.bpe_vocab(_t(s, d, "documents")),
         # count-min sketch state (SUM-mergeable word-frequency counters)
         "cms_words": lambda s, d: sketches.cms_registers(
             textops.words(_t(s, d, "documents")), "word"
@@ -770,6 +773,7 @@ FROM inj
             "word",
         ),
         "bpe_merges": bpe.bpe_train_sql(),
+        "bpe_vocab": bpe.bpe_vocab_sql(),
         "cms_words": sketches.cms_registers_sql(
             "(SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))"
             " AS word FROM documents) tw",

@@ -171,3 +171,41 @@ FROM b{i + 1}"""
         for i in range(n_merges)
     ]
     return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def bpe_vocab(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """The segmented vocabulary AFTER training: word, freq, n_symbols —
+    i.e. what the learned tokenizer does to every corpus word (the
+    compression the merges actually bought). Runs the same bounded
+    training loop and returns the final symbol table instead of the
+    merge list."""
+    v = _symbolized(documents)
+    for _ in range(n_merges):
+        best = (
+            _pair_counts(v)
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lsym, rsym = best[0]["pair"].split(" ")
+        v = v.select(
+            "word", "freq", _merge_fold(F.col("sy"), lsym, rsym).alias("sy")
+        ).localCheckpoint()
+    return v.select(
+        "word", F.col("freq").cast("bigint").alias("freq"),
+        F.size("sy").cast("int").alias("n_symbols"),
+    )
+
+
+def bpe_vocab_sql(n_merges: int = 8) -> str:
+    """DuckDB twin: the train twin's final v{n} CTE, projected."""
+    train = bpe_train_sql(n_merges)
+    # train ends with the UNION ALL of b1..bn selects; swap that tail for
+    # a projection of the final vocabulary CTE
+    tail_start = train.index(f"SELECT 0 AS merge_idx")
+    return train[:tail_start] + (
+        f"SELECT word, CAST(freq AS BIGINT) AS freq, "
+        f"CAST(len(sy) AS INT) AS n_symbols FROM v{n_merges}"
+    )

@@ -71,3 +71,13 @@ def test_bpe_exhausted_corpus_stops_early(spark):
     # single one-char word: no pairs at all -> zero merges, no crash
     df = _docs(spark, ["a a a"])
     assert bpe.bpe_train(df, 4).count() == 0
+
+
+def test_bpe_vocab_compression(spark):
+    df = _docs(spark, ["hello hello hello world", "hello worldly"])
+    vocab = {r.word: (r.freq, r.n_symbols) for r in bpe.bpe_vocab(df, 6).collect()}
+    assert vocab["hello"][0] == 4
+    # the dominant word compresses strictly below its char count
+    assert vocab["hello"][1] < 5
+    for w, (_, n) in vocab.items():
+        assert 1 <= n <= len(w)
