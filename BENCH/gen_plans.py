@@ -26,7 +26,7 @@ sections = [
      "100% whole-stage-codegen: parse -> conf filter -> abandon anti-join -> reading order -> ordered concat. No Python anywhere."),
     ("MinHash signatures", textops.minhash_signature(docs),
      "One shuffle; 8 parallel MIN aggregates with map-side combine."),
-    ("ANN top-k (broadcast queries)", simsearch.ann_topk(emb),
+    ("ANN top-k (ground-truth baseline)", simsearch.baseline_ann_topk(emb),
      "Brute-force baseline: BroadcastNestedLoopJoin with the tiny query "
      "side broadcast - the corpus side never shuffles; cost is linear in "
      "corpus x queries. The scale path is ivf_topk (cell-keyed equi-join)."),

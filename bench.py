@@ -132,7 +132,7 @@ def run(spark) -> dict:
     bench("gopher_quality", lambda: textops.gopher_quality(big_docs))
     bench("repetition_stats", lambda: textops.repetition_stats(big_docs))
     bench("pii_scrub", lambda: textops.pii_scrub(big_docs))
-    bench("ann_cosine_topk", lambda: simsearch.ann_topk(t("embeddings")))
+    bench("baseline_ann_cosine_topk", lambda: simsearch.baseline_ann_topk(t("embeddings")))
     bench("ann_ivf_topk", lambda: simsearch.ivf_topk(t("embeddings")))
     bench("ann_ivf_train", lambda: simsearch.ivf_train(t("embeddings")))
     bench(
@@ -202,7 +202,16 @@ def main() -> None:
         result = run(spark)
     finally:
         spark.stop()
-    print(json.dumps(result))
+    # ONE-LINE JSON contract: the driver parses the captured output tail.
+    # Console progress is disabled session-wide (session.py) because the
+    # stderr bars interleaved into the r03 capture and truncated the line;
+    # flush both streams first so nothing Spark buffered lands mid-line,
+    # then write the line + newline in a single syscall-sized write.
+    line = json.dumps(result)
+    sys.stderr.flush()
+    sys.stdout.flush()
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -42,6 +42,10 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # stderr progress bars interleave with stdout under captured-pipe
+        # runs and can corrupt one-line JSON contracts (BENCH_r03 parsed
+        # null because of exactly this) — never show them in batch jobs
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra or {}).items():

@@ -1,6 +1,6 @@
 """IVF retrieval quality (VERDICT r02 item 5): parity proves the IVF
 paths are deterministic, not that they retrieve. Measure recall@5 of
-ivf_topk / ivf_topk_trained against the brute-force ann_topk ground
+ivf_topk / ivf_topk_trained against the brute-force baseline_ann_topk ground
 truth, with n_cells sensitivity. The committed sf0.01/sf0.1 numbers live
 in BENCH/BASELINE.md (§recall)."""
 
