@@ -85,6 +85,8 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     """Train ``n_merges`` BPE merges; returns the merge table
     (merge_idx, lsym, rsym, merged, pair_count) — deterministic,
     engine-portable, and exactly what a tokenizer needs to run."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     spark = documents.sparkSession
     v = _symbolized(documents)
     merges = []
@@ -123,9 +125,14 @@ def bpe_segment(documents: DataFrame, merges: list[tuple[str, str]]) -> DataFram
     )
 
 
-def bpe_train_sql(n_merges: int = 8) -> str:
-    """DuckDB twin: rounds unrolled; each apply step is a per-word
-    recursive walk over the symbol list (list-state recursive CTE)."""
+def _bpe_train_parts(n_merges: int) -> tuple[list[str], list[str]]:
+    """The structural pieces of the training twin: (ctes, merge_selects).
+    ``bpe_train_sql`` joins them as-is; ``bpe_vocab_sql`` reuses the CTE
+    chain with its own final projection — STRUCTURAL composition, not
+    substring splicing (ADVICE r03: the old literal-substring search
+    broke on n_merges=0 and on any format change to the tail)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     ctes = [
         """v0 AS MATERIALIZED (
   SELECT word, COUNT(*) AS freq, regexp_extract_all(word, '.', 0) AS sy
@@ -170,6 +177,13 @@ def bpe_train_sql(n_merges: int = 8) -> str:
 FROM b{i + 1}"""
         for i in range(n_merges)
     ]
+    return ctes, selects
+
+
+def bpe_train_sql(n_merges: int = 8) -> str:
+    """DuckDB twin: rounds unrolled; each apply step is a per-word
+    recursive walk over the symbol list (list-state recursive CTE)."""
+    ctes, selects = _bpe_train_parts(n_merges)
     return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
@@ -179,6 +193,8 @@ def bpe_vocab(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     compression the merges actually bought). Runs the same bounded
     training loop and returns the final symbol table instead of the
     merge list."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     v = _symbolized(documents)
     for _ in range(n_merges):
         best = (
@@ -200,12 +216,11 @@ def bpe_vocab(documents: DataFrame, n_merges: int = 8) -> DataFrame:
 
 
 def bpe_vocab_sql(n_merges: int = 8) -> str:
-    """DuckDB twin: the train twin's final v{n} CTE, projected."""
-    train = bpe_train_sql(n_merges)
-    # train ends with the UNION ALL of b1..bn selects; swap that tail for
-    # a projection of the final vocabulary CTE
-    tail_start = train.index(f"SELECT 0 AS merge_idx")
-    return train[:tail_start] + (
+    """DuckDB twin: the train twin's CTE chain with the final v{n}
+    vocabulary CTE projected instead of the merge-table UNION."""
+    ctes, _ = _bpe_train_parts(n_merges)
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + "\n"
         f"SELECT word, CAST(freq AS BIGINT) AS freq, "
         f"CAST(len(sy) AS INT) AS n_symbols FROM v{n_merges}"
     )

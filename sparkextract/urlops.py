@@ -6,8 +6,10 @@ content hashing (the same page is crawled as ``http://www.X.com:80/a/``,
 public subset (RFC 3986 §6 syntax-based normalization + the standard
 tracking-param strip):
 
-* scheme and host lowercased; leading ``www.`` dropped
-* default port stripped (``:80`` for http, ``:443`` for https)
+* scheme and host lowercased; leading ``www.`` dropped (ALL repetitions
+  — ``www.www.a`` → ``a`` — so canonicalization is idempotent)
+* default port stripped (``:80`` for http, ``:443`` for https; repeated
+  suffixes stripped wholesale for the same idempotency contract)
 * trailing ``/`` stripped from the path; empty path → ``/``
 * query: ``utm_*`` params dropped, the rest sorted and re-joined
 * fragment dropped
@@ -40,9 +42,9 @@ def _canon_cols(url: F.Column):
     """(scheme, host, path, query) canonical pieces for a url Column."""
     scheme = F.lower(F.regexp_extract(url, SCHEME_RE, 0))
     auth = F.lower(F.regexp_extract(url, AUTHORITY_RE, 1))
-    host = F.regexp_replace(auth, r"^www\.", "")
-    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).when(
-        scheme == "https", F.regexp_replace(host, ":443$", "")
+    host = F.regexp_replace(auth, r"^(www\.)+", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, "(:80)+$", "")).when(
+        scheme == "https", F.regexp_replace(host, "(:443)+$", "")
     ).otherwise(host)
     rawpath = F.regexp_extract(url, PATH_RE, 1)
     path = F.regexp_replace(rawpath, "/+$", "")
@@ -106,10 +108,10 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
 def _canon_sql(url: str) -> dict[str, str]:
     scheme = f"lower(regexp_extract({url}, '{SCHEME_RE}', 0))"
     auth = f"lower(regexp_extract({url}, '{AUTHORITY_RE}', 1))"
-    host0 = f"regexp_replace({auth}, '^www\\.', '')"
+    host0 = f"regexp_replace({auth}, '^(www\\.)+', '')"
     host = (
-        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host0}, ':80$', '') "
-        f"WHEN {scheme} = 'https' THEN regexp_replace({host0}, ':443$', '') "
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host0}, '(:80)+$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host0}, '(:443)+$', '') "
         f"ELSE {host0} END"
     )
     path0 = f"regexp_replace(regexp_extract({url}, '{PATH_RE}', 1), '/+$', '')"

@@ -268,6 +268,17 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     src = str(tmp_path / "src_events")
     events.repartition(4).write.parquet(src)
+    # LOAD-BEARING batch count (ADVICE r03): the equality below holds only
+    # because 4 files / maxFilesPerTrigger=2 = exactly 2 micro-batches —
+    # state eviction during batch 1 uses the INITIAL watermark, so nothing
+    # is evicted before batch 2 arrives. The events corpus spans ~30 days
+    # against a 30-minute watermark, so with 3+ batches cross-batch matches
+    # WOULD be dropped and stream != batch. Pin the file count so a
+    # repartition/trigger tweak can't silently change the batch count.
+    import glob
+
+    n_files = len(glob.glob(src + "/part-*.parquet"))
+    assert n_files == 4, f"test assumes exactly 2 micro-batches (4 files / 2 per trigger), got {n_files} files"
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 2)

@@ -108,3 +108,19 @@ def test_canonicalize_total_and_idempotent(spark, urls):
     twice = U.canonical_url(once)
     for r in twice.collect():
         assert r.canonical_url == r.url, (r.url, r.canonical_url)
+
+
+def test_canonicalize_repeated_prefix_suffix(spark):
+    """Regression (ADVICE r03): repeated www. prefixes and :80 suffixes
+    must strip WHOLESALE in one pass — `h://www.www.a` used to
+    canonicalize to `h://www.a/` (idempotency violation)."""
+    cases = [
+        (0, "http://www.www.a.com/x"),
+        (1, "http://www.www.www.b.com:80:80/y/"),
+        (2, "https://www.c.com:443:443"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, url string")
+    got = {r.doc_id: r.canonical_url for r in U.canonical_url(df).collect()}
+    assert got[0] == "http://a.com/x"
+    assert got[1] == "http://b.com/y"
+    assert got[2] == "https://c.com/"
