@@ -523,3 +523,84 @@ def test_jpeg_restart_markers_roundtrip():
 
     with _pytest.raises(ValueError):
         jpeg.decode_jpeg(bytes(data))
+
+
+def test_incremental_extraction_and_read_changes(spark, tmp_path):
+    """Iceberg-style incremental chain: snapshot A extracts the initial
+    corpus; a conv-aligned file append makes extract_incremental process
+    ONLY the new file as snapshot B; read_changes(A, B) returns exactly
+    the appended conversations' extraction; read_changes(None) is the
+    full table; and the structured-streaming path (extract_stream with a
+    checkpoint, availableNow twice) independently computes the same
+    incremental delta."""
+    from sparkextract.lineage import extract_incremental, read_changes
+    from sparkextract.streaming import extract_stream, read_transcript_stream
+
+    def keyed(df):
+        return {
+            (r.conv_id, r.turn_idx): r.main_text
+            for r in df.select("conv_id", "turn_idx", "main_text").collect()
+        }
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    pdfA = synth.gen_transcripts(n_convs=6, seed=51)
+    spark.createDataFrame(pdfA, schema=schema.TRANSCRIPTS).coalesce(1).write.parquet(src)
+
+    sA = extract_incremental(spark, spark.read.parquet(src), out, buckets=4)
+    assert sA["processed"] == 4 and sA["new_files"] == 1
+    sidA = sA["snapshot"]
+
+    # unchanged input -> no-op (no new snapshot, zero work)
+    s0 = extract_incremental(spark, spark.read.parquet(src), out, buckets=4)
+    assert s0["processed"] == 0 and s0["new_files"] == 0 and s0["snapshot"] is None
+
+    # streaming pass 1 over the same source (checkpointed)
+    out_s, ckpt = str(tmp_path / "out_s"), str(tmp_path / "ckpt")
+    q = extract_stream(
+        read_transcript_stream(spark, src), out_s, ckpt, trigger_once=True
+    )
+    q.awaitTermination(300)
+
+    # conv-aligned append: a file of entirely NEW conversations
+    pdfB = synth.gen_transcripts(n_convs=5, seed=52)
+    pdfB["conv_id"] = pdfB["conv_id"].str.replace("conv-", "convB-", regex=False)
+    spark.createDataFrame(pdfB, schema=schema.TRANSCRIPTS).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    sB = extract_incremental(spark, spark.read.parquet(src), out, buckets=4)
+    assert sB["new_files"] == 1 and sB["processed"] == 4
+    sidB = sB["snapshot"]
+    assert sidB != sidA
+
+    want_b = keyed(extract(spark.createDataFrame(pdfB, schema=schema.TRANSCRIPTS)))
+    got_changes = keyed(read_changes(spark, out, sidA, sidB))
+    assert got_changes == want_b and got_changes
+
+    # full current state = union of the whole snapshot chain
+    want_all = keyed(extract(spark.read.parquet(src)))
+    assert keyed(read_changes(spark, out, None)) == want_all
+    # default to_snapshot = latest
+    assert keyed(read_changes(spark, out, sidA)) == want_b
+
+    # empty range and error cases
+    assert read_changes(spark, out, sidB, sidB).count() == 0
+    with pytest.raises(ValueError):
+        read_changes(spark, out, "no-such-snapshot")
+    with pytest.raises(ValueError):
+        read_changes(spark, out, sidB, sidA)  # reversed range
+
+    # streaming pass 2: same checkpoint -> processes ONLY the appended
+    # file; its delta must equal read_changes(A, B)
+    q2 = extract_stream(
+        read_transcript_stream(spark, src), out_s, ckpt, trigger_once=True
+    )
+    q2.awaitTermination(300)
+    s_all = spark.read.parquet(out_s)
+    first_batches = [
+        r.batch_id for r in s_all.select("batch_id").distinct().collect()
+    ]
+    new_batch = max(first_batches)
+    assert keyed(s_all.where(s_all.batch_id == new_batch)) == want_b
+    assert keyed(s_all) == want_all
