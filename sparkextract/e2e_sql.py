@@ -73,7 +73,10 @@ def _span_render(t: str, x0: str, y0: str, x1: str, y1: str, c: str, s: str) -> 
     )
 
 
-def extract_sql() -> str:
+def extract_sql(payload_cte: str | None = None) -> str:
+    """``payload_cte`` (default: documents-template synthesis) swaps the
+    payload source — pass ``tasks.transcripts_payload_cte()`` to oracle a
+    raw transcripts table (the adversarial-fuzz path)."""
     from .mfr import f1_fixpoint_cte
     from .tasks import detections_sql_cte, ocr_spans_cte_chain
 
@@ -93,7 +96,7 @@ def extract_sql() -> str:
 fr_base AS (
   SELECT doc_id, page_seq, det_idx, content FROM ordered WHERE branch = 1
 ),"""
-    return f"""{detections_sql_cte()},
+    return f"""{detections_sql_cte(payload_cte)},
 {ocr_spans_cte_chain()},{f1_base}
 {f1_fixpoint_cte("fr_base").lstrip()},
 final_dets AS MATERIALIZED (

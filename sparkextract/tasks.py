@@ -173,7 +173,23 @@ WHERE o.category = 'table'
 """
 
 
-def detections_sql_cte() -> str:
+def transcripts_payload_cte(source: str = "transcripts") -> str:
+    """Payload CTE over a RAW transcripts table (conv_id, turn_idx, text,
+    tool) — the same scan rule as parse.parse_detections: a turn carries a
+    document iff '@page ' appears in text or tool; the scanned string is
+    text + newline + tool (parse.py:30). Lets every detections-based twin
+    (including the full e2e twin) oracle arbitrary payloads instead of the
+    documents-template synthesis — used by the adversarial payload fuzzer
+    (tests/test_e2e_fuzz.py)."""
+    return f"""SELECT ROW_NUMBER() OVER (ORDER BY conv_id, turn_idx) AS doc_id,
+         conv_id, turn_idx,
+         COALESCE(text, '') || chr(10) || COALESCE(tool, '') AS p
+  FROM {source}
+  WHERE contains(COALESCE(text, ''), '@page ')
+     OR contains(COALESCE(tool, ''), '@page ')"""
+
+
+def detections_sql_cte(payload_cte: str | None = None) -> str:
     """Shared DuckDB CTE chain reproducing parse.py:_parse_batch over the
     documents corpus: payload tokenization, page/det sequencing, P2
     confidence filter, per-(page, branch, category) greedy NMS (M3) as a
@@ -181,6 +197,9 @@ def detections_sql_cte() -> str:
     ordering. Ends with CTEs ``ordered`` (all surviving det rows, raw
     coords/scores) and ``pages``; callers append their final SELECT
     (applying F6/F7 where appropriate).
+
+    ``payload_cte`` overrides the payload source (default: the documents
+    template synthesis); it must yield (doc_id, conv_id, turn_idx, p).
 
     Caveat: score rounding uses DuckDB ROUND (half-away) vs numpy
     (half-even) — identical on the template's 2-decimal scores; the
@@ -199,13 +218,15 @@ def detections_sql_cte() -> str:
     iou = f"CASE WHEN {union} > 0 THEN ({inter}) / greatest({union}, 1e-12) ELSE 0.0 END"
     survives = f"len(list_filter(n.boxes, k -> {iou} > {schema.IOU_THRES})) = 0"
     box = "struct_pack(x0 := c.x0, y0 := c.y0, x1 := c.x1, y1 := c.y1)"
-    return f"""
-WITH RECURSIVE payload AS (
-  SELECT doc_id,
+    if payload_cte is None:
+        payload_cte = f"""SELECT doc_id,
          printf('conv-%06d', CAST(doc_id % 97 AS INT)) AS conv_id,
          CAST(floor(doc_id / 97) AS INT) AS turn_idx,
          {payload_sql()} AS p
-  FROM documents
+  FROM documents"""
+    return f"""
+WITH RECURSIVE payload AS (
+  {payload_cte}
 ),
 lines AS (
   SELECT doc_id, conv_id, turn_idx,
