@@ -303,6 +303,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), k=4, w=5
         ),
         "doc_fingerprint": lambda s, d: textops.fingerprint(_t(s, d, "documents")),
+        # round-4: perplexity-proxy LM quality filter (CCNet family) —
+        # corpus-trained bigram model, INTEGER surprisal (exact ilog2 via
+        # binary-string length, no transcendental divergence)
+        "bigram_lm_score": lambda s, d: textops.bigram_lm_score(
+            _t(s, d, "documents")
+        ),
+        # round-4: per-doc top-k characteristic terms, ratio-idf tf-idf
+        # (exact ints + one IEEE division; log idf isn't engine-portable)
+        "tfidf_topk": lambda s, d: textops.tfidf_topk(_t(s, d, "documents")),
         # fasttext/DCLM-style linear quality classifier: hashed-ngram
         # features x broadcast integer weight table, exact-int score
         "quality_classifier": lambda s, d: textops.quality_classifier(
@@ -797,6 +806,8 @@ FROM inj
             "SELECT doc_id, n_chars FROM documents WHERE "
             + sketches.hash_sample_pred_sql("doc_id", 0.10)
         ),
+        "bigram_lm_score": textops.bigram_lm_score_sql(),
+        "tfidf_topk": textops.tfidf_topk_sql(),
         "quality_classifier": textops.quality_classifier_sql(),
         "chunk_documents": textops.chunk_documents_sql(),
         "vocab_stats": textops.vocab_stats_sql(),

@@ -115,6 +115,8 @@ def run(spark) -> dict:
     )
     bench("ngram_jaccard", lambda: textops.ngram_jaccard_pairs(docs))
     bench("quality_classifier", lambda: textops.quality_classifier(big_docs))
+    bench("bigram_lm_score", lambda: textops.bigram_lm_score(big_docs))
+    bench("tfidf_topk", lambda: textops.tfidf_topk(big_docs))
     bench("chunk_documents", lambda: textops.chunk_documents(big_docs))
     bench("hll_words", lambda: sketches.hll_registers(textops.words(big_docs), "word"))
     bench("cms_words", lambda: sketches.cms_registers(textops.words(big_docs), "word"))

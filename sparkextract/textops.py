@@ -803,3 +803,156 @@ WITH ranked AS (
   FROM documents
 )
 """ + "\nUNION ALL\n".join(selects)
+
+
+def bigram_lm_score(documents: DataFrame, thr: float = 4.55) -> DataFrame:
+    """Perplexity-proxy quality filter (the KenLM-filter family — CCNet,
+    Wenzek+19 arXiv:1911.00359): score every document by the mean
+    INTEGER SURPRISAL of its bigrams under a bigram model trained on the
+    corpus itself:
+
+        surprisal(w1 w2) = ilog2 c(w1 ·) - ilog2 c(w1 w2)   (~ -log2 p(w2|w1))
+
+    with ilog2 n = floor(log2 n) computed EXACTLY as len(bin(n)) - 1
+    (Spark ``conv(n,10,2)`` / DuckDB ``bin(n)``), so the whole statistic
+    is integer arithmetic — a float log() path could not be oracled
+    hash-exact because transcendental rounding is not pinned across
+    engines. ``lm_pass`` keeps predictable (low mean-surprisal) text,
+    comparing the UNROUNDED exact-int division.
+
+    Scale shape: one explode -> (doc, gram) combinable pre-agg -> global
+    gram counts (gram-keyed combinable shuffle) -> two keyed equi-joins
+    (gram, then first-word) -> one doc_id agg. No all-pairs, no Python;
+    the bigram count table is the only large intermediate and both its
+    producers and the final agg are map-side combinable. Only docs with
+    >= 1 bigram appear (a 1-word doc has no LM evidence)."""
+    ws = F.col("ws")
+    grams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", ws[i], ws[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = (
+        documents.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .withColumn("w1", F.split("gram", " ")[0])
+    )
+    bg = doc_grams.groupBy("gram").agg(F.sum("k").alias("c12"))
+    ug = doc_grams.groupBy("w1").agg(F.sum("k").alias("c1"))
+
+    def ilog2(c):
+        return F.length(F.conv(c.cast("string"), 10, 2)) - 1
+
+    scored = (
+        doc_grams.join(bg, "gram")
+        .join(ug, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.col("k") * (ilog2(F.col("c1")) - ilog2(F.col("c12")))
+            ).cast("bigint").alias("surprisal"),
+        )
+    )
+    avg = F.col("surprisal") / F.col("n_bigrams")
+    return scored.select(
+        "doc_id", "n_bigrams", "surprisal",
+        F.round(avg, 6).alias("avg_surprisal"),
+        (avg <= F.lit(thr)).alias("lm_pass"),
+    )
+
+
+def bigram_lm_score_sql(thr: float = 4.55) -> str:
+    """DuckDB twin of ``bigram_lm_score`` (identical integer ilog2)."""
+    return f"""
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(a) - 1),
+                               i -> a[i + 1] || ' ' || a[i + 2])) AS gram
+  FROM arr WHERE len(a) >= 2
+),
+dg AS (
+  SELECT doc_id, gram, COUNT(*) AS k, string_split(gram, ' ')[1] AS w1
+  FROM g GROUP BY doc_id, gram
+),
+bg AS (SELECT gram, SUM(k) AS c12 FROM dg GROUP BY gram),
+ug AS (SELECT w1, SUM(k) AS c1 FROM dg GROUP BY w1),
+s AS (
+  SELECT dg.doc_id,
+         CAST(SUM(dg.k) AS BIGINT) AS n_bigrams,
+         CAST(SUM(dg.k * ((length(bin(ug.c1)) - 1)
+                          - (length(bin(bg.c12)) - 1))) AS BIGINT) AS surprisal
+  FROM dg JOIN bg USING (gram) JOIN ug USING (w1)
+  GROUP BY dg.doc_id
+)
+SELECT doc_id, n_bigrams, surprisal,
+       ROUND(surprisal / n_bigrams, 6) AS avg_surprisal,
+       surprisal / n_bigrams <= {thr} AS lm_pass
+FROM s
+"""
+
+
+def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf with EXACT
+    ranking: score = tf(d,w) * N / df(w) using the RATIO idf form (not
+    log — pinned as the contract: log(N/df) reweights but its
+    transcendental rounding is not engine-portable; the ratio ranks by
+    the same "rare + frequent-in-doc" signal with exact-int numerators
+    and ONE IEEE division, like the quantized-dot pattern). Ties break
+    on word ASC.
+
+    Scale shape: (doc, word) combinable pre-agg -> word-keyed df agg ->
+    word-keyed equi-join back + broadcast 1-row corpus count -> one
+    per-doc top-k window. The df table is vocabulary-sized; stop-word
+    skew in the join is bounded because the window input is already
+    pre-aggregated to one row per (doc, word)."""
+    wc = (
+        words(documents)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = wc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = wc.join(df, "word").crossJoin(F.broadcast(n))
+    score = F.col("tf") * F.col("n_docs") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id", "word",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(score, 6).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def tfidf_topk_sql(k: int = 3) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+),
+wc AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+dfq AS (SELECT word, COUNT(*) AS df FROM wc GROUP BY word),
+scored AS (
+  SELECT wc.doc_id, wc.word, wc.tf, dfq.df,
+         wc.tf * (SELECT COUNT(*) FROM documents) / dfq.df AS score
+  FROM wc JOIN dfq USING (word)
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, word ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(score, 6) AS tfidf, rank
+FROM r WHERE rank <= {k}
+"""

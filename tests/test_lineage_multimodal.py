@@ -604,3 +604,49 @@ def test_incremental_extraction_and_read_changes(spark, tmp_path):
     new_batch = max(first_batches)
     assert keyed(s_all.where(s_all.batch_id == new_batch)) == want_b
     assert keyed(s_all) == want_all
+
+
+def test_partition_evolution_across_snapshots(spark, tmp_path):
+    """Bucket-count (partition-spec) EVOLUTION across snapshots: the
+    manifest records each snapshot's own committed bucket set, so
+    snapshot A written with 4 buckets and snapshot B with 8 coexist —
+    pinned reads of each resolve their own layout, and the incremental
+    read between them spans the spec change (Iceberg partition-evolution
+    semantics at the granularity this stand-in supports)."""
+    from sparkextract.lineage import (
+        committed_buckets,
+        read_changes,
+        read_snapshot,
+        run_with_lineage,
+    )
+
+    out = str(tmp_path / "out")
+    pdfA = synth.gen_transcripts(n_convs=6, seed=61)
+    sA = run_with_lineage(
+        spark, spark.createDataFrame(pdfA, schema=schema.TRANSCRIPTS),
+        out, snapshot="snapA", buckets=4,
+    )
+    assert sA["processed"] == 4
+    pdfB = synth.gen_transcripts(n_convs=5, seed=62)
+    pdfB["conv_id"] = pdfB["conv_id"].str.replace("conv-", "convB-", regex=False)
+    sB = run_with_lineage(
+        spark, spark.createDataFrame(pdfB, schema=schema.TRANSCRIPTS),
+        out, snapshot="snapB", buckets=8,
+    )
+    assert sB["processed"] == 8
+    assert committed_buckets(spark, out, "snapA") == set(range(4))
+    assert committed_buckets(spark, out, "snapB") == set(range(8))
+
+    def keyed(df):
+        return {
+            (r.conv_id, r.turn_idx): r.main_text
+            for r in df.select("conv_id", "turn_idx", "main_text").collect()
+        }
+
+    wantA = keyed(extract(spark.createDataFrame(pdfA, schema=schema.TRANSCRIPTS)))
+    wantB = keyed(extract(spark.createDataFrame(pdfB, schema=schema.TRANSCRIPTS)))
+    assert keyed(read_snapshot(spark, out, "snapA")) == wantA
+    assert keyed(read_snapshot(spark, out, "snapB")) == wantB
+    # incremental read spans the spec change
+    assert keyed(read_changes(spark, out, "snapA", "snapB")) == wantB
+    assert keyed(read_changes(spark, out, None)) == {**wantA, **wantB}

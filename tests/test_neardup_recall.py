@@ -31,3 +31,14 @@ def test_default_nprobe_not_degenerate(recall):
     # pairs on this corpus; a collapse here means the probe ranking or
     # the candidate join broke
     assert recall[2] >= 0.5, recall
+
+
+def test_auto_cells_default_keeps_majority_recall(spark):
+    """The round-4 production default (n_cells='auto') trades candidate
+    volume for recall (measured at n=500: nprobe=2 recall 0.76 @ 8 cells
+    -> 0.61 @ auto=16). The guard: the DEFAULT (auto cells, nprobe=2)
+    must still recover a majority of true above-threshold pairs."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    auto = simsearch.auto_cells(emb.count())
+    r = simsearch.neardup_pair_recall(emb, n_cells=auto, nprobe_grid=(2,))
+    assert r[2] >= 0.5, (auto, r)
