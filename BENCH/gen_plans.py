@@ -39,6 +39,17 @@ sections = [
      "The recall lever: queries fan out to their 3 closest cells via the "
      "same cell-keyed equi-join; candidate volume is 3n/cells per query, "
      "never all-pairs. Centroids ride in as broadcasts."),
+    ("Bigram-LM surprisal quality filter (r4)",
+     textops.bigram_lm_score(docs),
+     "Integer-surprisal perplexity proxy: (doc,gram) pre-agg, two "
+     "combinable count shuffles, gram- and w1-keyed equi-joins, one "
+     "doc_id agg. ilog2 runs as conv(n,10,2) string length - pure "
+     "codegen, no Python, no log()."),
+    ("tf-idf top-k terms per doc (r4)",
+     textops.tfidf_topk(docs),
+     "Vocabulary-sized df agg joined back word-keyed; the only "
+     "nested-loop is the broadcast of the literal one-row corpus count; "
+     "one per-doc top-k window."),
     ("Gopher quality gate + PII scrub fused on one scan (map-only)",
      textops.pii_scrub(
          docs.where(textops._gopher_pass_col()).select("doc_id", "text")

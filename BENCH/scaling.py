@@ -109,9 +109,19 @@ def run_at(cores: int) -> dict:
 
         staged_t, staged_n = corpus(STAGED_REPLICATE)
         _force(pipeline.extract(staged_t.limit(2000)))
-        staged = statistics.median(
-            _force(pipeline.extract(staged_t)) for _ in range(RUNS)
-        )
+        # the staged engine persists its stage-1 fan-out INTERNALLY;
+        # Spark's CacheManager matches that persisted plan across calls,
+        # so repeated runs would read the first run's cache and report
+        # warm-cache time (this understated staged cost in r1-r3 — see
+        # BENCH/BASELINE.md). Clear the SQL cache per repetition and
+        # re-warm the input corpus OUTSIDE the timer.
+        staged_runs = []
+        for _ in range(RUNS):
+            spark.catalog.clearCache()
+            staged_t.persist()
+            staged_t.count()
+            staged_runs.append(_force(pipeline.extract(staged_t)))
+        staged = statistics.median(staged_runs)
         return {
             "cores": cores,
             "fused_turns": fused_n,

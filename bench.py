@@ -84,9 +84,20 @@ def run(spark) -> dict:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
 
-    def bench(name: str, build) -> None:
-        """median of REPEAT runs, fresh DataFrame per run."""
-        runs = [force_once(build) for _ in range(REPEAT)]
+    def bench(name: str, build, clear_cache: bool = False) -> None:
+        """median of REPEAT runs, fresh DataFrame per run.
+
+        ``clear_cache``: drop the SQL cache before every repetition —
+        required for builds with an INTERNAL .persist() (the staged
+        pipeline): Spark's CacheManager matches persisted plans by
+        canonicalized form ACROSS calls, so without this, repetitions
+        2..n silently read the first run's cache and the median reports
+        warm-cache time (this understated extract_staged in r1-r3)."""
+        runs = []
+        for _ in range(REPEAT):
+            if clear_cache:
+                spark.catalog.clearCache()
+            runs.append(force_once(build))
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
@@ -94,7 +105,7 @@ def run(spark) -> dict:
     force_once(lambda: min_slice(docs.limit(50)))
 
     bench("extract_pipeline", lambda: extract_fused(transcripts))
-    bench("extract_staged", lambda: pipeline.extract(transcripts))
+    bench("extract_staged", lambda: pipeline.extract(transcripts), clear_cache=True)
     bench("extract_min_slice", lambda: min_slice(big_docs))
     bench("dedup_exact", lambda: textops.exact_dedup(big_docs))
     bench("minhash_signature", lambda: textops.minhash_signature(big_docs))

@@ -250,6 +250,7 @@ def extract_incremental(
     transcripts: DataFrame,
     out_dir: str,
     buckets: int = 64,
+    strict: bool = False,
     **extract_kw,
 ) -> dict:
     """Resumable INCREMENTAL extraction: extract only the input files no
@@ -264,8 +265,12 @@ def extract_incremental(
     conversation — incremental output equals full recompute iff appends
     are CONVERSATION-ALIGNED (new files carry whole new conv_ids, the
     append shape of a transcript log). Files appending turns to an
-    already-extracted conv_id need that conv's buckets reprocessed; this
-    helper does not detect that case.
+    already-extracted conv_id need that conv's buckets reprocessed;
+    ``strict=True`` DETECTS that case and raises instead of silently
+    emitting a wrong turn_seq — one conv_id-only (column-pruned)
+    distinct over the new slice joined against the committed output's
+    conv set. Opt-in because the committed-conv distinct is a real scan
+    of the output table (bounded by output, not input, size).
 
     Parquet-backed inputs only (the file listing IS the change signal);
     file-less DataFrames raise, same as ``snapshot_id``."""
@@ -283,6 +288,25 @@ def extract_incremental(
             "seen_files": len(files), "snapshot": None, "buckets": buckets,
         }
     df_new = spark.read.schema(transcripts.schema).parquet(*new)
+    if strict and seen:
+        committed_convs = read_changes(spark, out_dir, None).select(
+            "conv_id"
+        ).distinct()
+        overlap = (
+            df_new.select("conv_id").distinct()
+            .join(committed_convs, "conv_id")
+            .limit(5)
+            .collect()
+        )
+        if overlap:
+            sample = sorted(r.conv_id for r in overlap)
+            raise ValueError(
+                "extract_incremental(strict): new files carry turns for "
+                f"already-extracted conversations (e.g. {sample}); a "
+                "per-slice extraction would emit wrong turn_seq for them "
+                "— reprocess those conversations' buckets via "
+                "run_with_lineage over the full input instead"
+            )
     summary = run_with_lineage(
         spark, df_new, out_dir, snapshot=None, buckets=buckets, **extract_kw
     )

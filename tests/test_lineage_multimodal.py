@@ -650,3 +650,34 @@ def test_partition_evolution_across_snapshots(spark, tmp_path):
     # incremental read spans the spec change
     assert keyed(read_changes(spark, out, "snapA", "snapB")) == wantB
     assert keyed(read_changes(spark, out, None)) == {**wantA, **wantB}
+
+
+def test_incremental_strict_detects_conv_overlap(spark, tmp_path):
+    """strict=True must refuse a non-conv-aligned append (turns added to
+    an already-extracted conversation) and accept a conv-aligned one."""
+    from sparkextract.lineage import extract_incremental
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    pdfA = synth.gen_transcripts(n_convs=5, seed=71)
+    spark.createDataFrame(pdfA, schema=schema.TRANSCRIPTS).coalesce(1).write.parquet(src)
+    s = extract_incremental(spark, spark.read.parquet(src), out, buckets=4, strict=True)
+    assert s["processed"] == 4  # first snapshot: nothing to overlap with
+
+    # conv-ALIGNED append passes strict
+    pdfB = synth.gen_transcripts(n_convs=3, seed=72)
+    pdfB["conv_id"] = pdfB["conv_id"].str.replace("conv-", "convB-", regex=False)
+    spark.createDataFrame(pdfB, schema=schema.TRANSCRIPTS).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    s2 = extract_incremental(spark, spark.read.parquet(src), out, buckets=4, strict=True)
+    assert s2["new_files"] == 1 and s2["processed"] == 4
+
+    # append MORE TURNS to an existing conv -> strict raises, nothing written
+    pdfC = synth.gen_transcripts(n_convs=1, seed=73)  # conv-000000 again
+    pdfC["turn_idx"] = pdfC["turn_idx"] + 1000  # later turns, same conv
+    spark.createDataFrame(pdfC, schema=schema.TRANSCRIPTS).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    with pytest.raises(ValueError, match="already-extracted conversations"):
+        extract_incremental(spark, spark.read.parquet(src), out, buckets=4, strict=True)
