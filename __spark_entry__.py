@@ -186,6 +186,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents").where(F.col("doc_id") % 50 != 0),
             _t(s, d, "documents").where(F.col("doc_id") % 50 == 0),
         ),
+        # round-4 cross-corpus dedup (Dolma shape: new dump vs existing
+        # corpus — doc_id % 4 == 0 plays the existing corpus): exact
+        # anti-join survivors, and LSH bucket-join near-dup flags
+        "dedup_against": lambda s, d: textops.dedup_against(
+            _t(s, d, "documents").where(F.col("doc_id") % 4 != 0),
+            _t(s, d, "documents").where(F.col("doc_id") % 4 == 0),
+        ),
+        "neardup_against": lambda s, d: textops.neardup_against(
+            _t(s, d, "documents").where(F.col("doc_id") % 4 != 0),
+            _t(s, d, "documents").where(F.col("doc_id") % 4 == 0),
+        ),
         # --- near-dup dedup over embeddings / similarity search ---
         # production path: LSH candidates over text -> exact cosine verify.
         # threshold 0.05 (not the 0.35 default): synthetic text-similarity is
@@ -498,6 +509,34 @@ reach(src, dst) AS (
 SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
 """
 )
+
+
+def _band_cte(prefix: str, where: str) -> str:
+    """MinHash-LSH band-bucket CTE chain over a FILTERED documents slice
+    (cross-corpus twin building block); final CTE: {prefix}band."""
+    return f"""{prefix}0 AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE {where}
+),
+{prefix}sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, GREATEST(len(ws) - 1, 1)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+           AS shingle
+  FROM {prefix}0 WHERE len(ws) >= 3
+),
+{prefix}x AS (
+  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || shingle) AS h
+  FROM {prefix}sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) seeds
+),
+{prefix}sig AS (
+  SELECT doc_id, CAST(seed AS INT) AS seed, MIN(h) AS minhash
+  FROM {prefix}x GROUP BY 1, 2
+),
+{prefix}band AS (
+  SELECT doc_id, seed // 2 AS band,
+         md5(string_agg(minhash, '|' ORDER BY minhash)) AS bucket
+  FROM {prefix}sig GROUP BY doc_id, seed // 2
+)"""
 
 
 # SQL twin of _pii_injected (yields doc_id, text) — shared by the
@@ -945,6 +984,25 @@ SELECT d.doc_id, COALESCE(h.n_shared_shingles, 0) AS n_shared_shingles,
        COALESCE(h.n_shared_shingles, 0) = 0 AS clean
 FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
 LEFT JOIN hits h USING (doc_id)
+""",
+        "dedup_against": """
+WITH rk AS (
+  SELECT DISTINCT md5(substr(text, 1, 64)) AS key
+  FROM documents WHERE doc_id % 4 = 0
+)
+SELECT doc_id, md5(substr(text, 1, 64)) AS key
+FROM documents
+WHERE doc_id % 4 <> 0
+  AND md5(substr(text, 1, 64)) NOT IN (SELECT key FROM rk)
+""",
+        "neardup_against": f"""
+WITH {_band_cte("c", "doc_id % 4 <> 0")},
+{_band_cte("r", "doc_id % 4 = 0")},
+hits AS (
+  SELECT DISTINCT c.doc_id AS doc_id, r.doc_id AS ref_id
+  FROM cband c JOIN rband r USING (band, bucket)
+)
+SELECT doc_id, COUNT(*) AS n_ref_candidates FROM hits GROUP BY doc_id
 """,
         # the FULL pipeline twin: both engines (staged + fused) must equal
         # the same SQL — and each other — byte-for-byte on main_text

@@ -71,14 +71,22 @@ def minhash_signature(documents: DataFrame, n: int = N_MINHASH) -> DataFrame:
     ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
 
 
-def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
-    """MinHash-LSH near-dup candidates: band = 2 consecutive signature
-    rows; docs sharing any band bucket pair up. Scale path: the bucket
-    join replaces the all-pairs cross product."""
+def _lsh_bands(documents: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): MinHash-LSH band buckets — band = 2
+    consecutive signature rows, bucket = md5 of the sorted pair."""
     sig = minhash_signature(documents)
-    bands = sig.groupBy("doc_id", (F.col("seed") / 2).cast("int").alias("band")).agg(
+    return sig.groupBy(
+        "doc_id", (F.col("seed") / 2).cast("int").alias("band")
+    ).agg(
         F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("bucket")
     )
+
+
+def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing any band bucket
+    pair up. Scale path: the bucket join replaces the all-pairs cross
+    product."""
+    bands = _lsh_bands(documents)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band", "bucket"])
@@ -956,3 +964,51 @@ SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        ROUND(score, 6) AS tfidf, rank
 FROM r WHERE rank <= {k}
 """
+
+
+def dedup_against(
+    documents: DataFrame, reference: DataFrame, prefix: int = 64
+) -> DataFrame:
+    """Cross-corpus EXACT dedup (the Dolma/RefinedWeb shape: dedupe a
+    NEW dump against the EXISTING training corpus, not against itself):
+    drop every document whose normalized key already appears in the
+    reference corpus. Returns the survivors (doc_id, key).
+
+    Plan at 100 TB: the reference side reduces to DISTINCT keys first
+    (combinable, vocabulary-sized vs its text), then ONE key-keyed LEFT
+    ANTI join — the exact-set equivalent of the bloom-filter pass
+    production pipelines run before any expensive per-doc work; no
+    Python, no skew beyond the md5 key space (uniform)."""
+    key = F.md5(F.substring("text", 1, prefix))
+    ref_keys = reference.select(key.alias("key")).distinct()
+    return (
+        documents.select("doc_id", key.alias("key"))
+        .join(ref_keys, "key", "left_anti")
+        .select("doc_id", "key")
+    )
+
+
+def neardup_against(documents: DataFrame, reference: DataFrame) -> DataFrame:
+    """Cross-corpus NEAR-dup flags: corpus documents sharing any
+    MinHash-LSH band bucket with any reference document, with the count
+    of distinct reference partners. The cross-corpus complement of
+    ``lsh_candidate_pairs`` (self-join there, corpus×reference bucket
+    equi-join here) — how a new crawl is screened against the training
+    set before exact verification.
+
+    Plan: both sides reduce to (doc, band, bucket) via the one-pass
+    8-way MIN signature; the join is (band, bucket)-keyed — never
+    all-pairs; the distinct + count are combinable."""
+    cb = _lsh_bands(documents)
+    rb = _lsh_bands(reference)
+    return (
+        cb.alias("c")
+        .join(rb.alias("r"), ["band", "bucket"])
+        .select(
+            F.col("c.doc_id").alias("doc_id"),
+            F.col("r.doc_id").alias("ref_id"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_ref_candidates"))
+    )

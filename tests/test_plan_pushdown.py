@@ -67,3 +67,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_docs")
         spark.sql("DROP TABLE IF EXISTS bkt_emb")
+
+
+def test_read_changes_prunes_partitions(spark, tmp_path):
+    """read_changes' committed-(snapshot, bucket) filter must be a STATIC
+    predicate over the two partition columns — PartitionFilters on the
+    scan, so untouched snapshots' files are never listed or read (the
+    SCALE.md §5 incremental-read claim, plan-guarded)."""
+    from sparkextract import schema, synth
+    from sparkextract.lineage import read_changes, run_with_lineage
+
+    out = str(tmp_path / "out")
+    for i, seed in enumerate((81, 82)):
+        pdf = synth.gen_transcripts(n_convs=4, seed=seed)
+        pdf["conv_id"] = pdf["conv_id"] + f"-s{i}"
+        run_with_lineage(
+            spark, spark.createDataFrame(pdf, schema=schema.TRANSCRIPTS),
+            out, snapshot=f"snap{i}", buckets=2,
+        )
+    df = read_changes(spark, out, "snap0", "snap1")
+    plan = _plan(df)
+    scan = plan[plan.index("Scan parquet"):]
+    pf_line = scan[scan.index("PartitionFilters"):].split("\n")[0]
+    assert "snapshot" in pf_line and "bucket" in pf_line, pf_line
+    # the predicate names only the CHANGED snapshot
+    assert "snap1" in pf_line, pf_line
