@@ -292,8 +292,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- text dedup / fingerprinting ---
         "lsh_candidate_pairs": lambda s, d: textops.lsh_candidate_pairs(_t(s, d, "documents")),
-        "minhash_signature": lambda s, d: textops.minhash_signature(_t(s, d, "documents")),
-        "simhash": lambda s, d: textops.simhash(_t(s, d, "documents")),
+        # round-4: CCNet/RefinedWeb segment-level corpus dedup — every
+        # 32-word segment keeps its first (doc_id, seg_idx) occurrence,
+        # docs reassembled from survivors; ONE content-keyed shuffle
+        "segment_dedup": lambda s, d: textops.segment_dedup(
+            _t(s, d, "documents")
+        ),
+        # round-4: α=0.5 temperature mixture sampling (GPT-3/PaLM source
+        # reweighting) — integer quota rule + map-only md5-prefix keep
+        "mixture_sample": lambda s, d: textops.mixture_sample(
+            _t(s, d, "documents")
+        ),
+        # round-4: concat-and-split sequence packing manifest (per-source
+        # running word sum -> fixed 256-word training bins)
+        "pack_sequences": lambda s, d: textops.pack_sequences(
+            _t(s, d, "documents")
+        ),
         # banded-Hamming SimHash near-dup (4x4-bit bands, verify <= 3)
         "simhash_neardup": lambda s, d: textops.simhash_neardup(
             _t(s, d, "documents")
@@ -313,7 +327,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_k4": lambda s, d: textops.winnow_fingerprints(
             _t(s, d, "documents"), k=4, w=5
         ),
-        "doc_fingerprint": lambda s, d: textops.fingerprint(_t(s, d, "documents")),
         # round-4: perplexity-proxy LM quality filter (CCNet family) —
         # corpus-trained bigram model, INTEGER surprisal (exact ilog2 via
         # binary-string length, no transcendental divergence)
@@ -328,6 +341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": lambda s, d: textops.quality_classifier(
             _t(s, d, "documents")
         ),
+        # ==================== position 51+ below: long-stable rows, ====
+        # ==================== driver-green since round 1 ===============
         # LM training-window chunking (overlapping word windows, narrow plan)
         "chunk_documents": lambda s, d: textops.chunk_documents(
             _t(s, d, "documents")
@@ -341,8 +356,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PII redaction over a deterministically-injected corpus (the synth
         # documents carry no PII; injection makes the driver row non-vacuous)
         "pii_scrub": lambda s, d: textops.pii_scrub(_pii_injected(s, d)),
-        # ==================== position 51+ below: long-stable rows, ====
-        # ==================== driver-green since round 1 ===============
+        # demoted round 4 (green in r03, code untouched since) to make
+        # window room for segment_dedup/mixture_sample/pack_sequences
+        "minhash_signature": lambda s, d: textops.minhash_signature(_t(s, d, "documents")),
+        "simhash": lambda s, d: textops.simhash(_t(s, d, "documents")),
+        "doc_fingerprint": lambda s, d: textops.fingerprint(_t(s, d, "documents")),
         # Gopher-style rules (Rae et al. 2021): quality band + repetition
         "gopher_quality": lambda s, d: textops.gopher_quality(_t(s, d, "documents")),
         "repetition_stats": lambda s, d: textops.repetition_stats(
@@ -845,6 +863,9 @@ FROM inj
             "SELECT doc_id, n_chars FROM documents WHERE "
             + sketches.hash_sample_pred_sql("doc_id", 0.10)
         ),
+        "segment_dedup": textops.segment_dedup_sql(),
+        "mixture_sample": textops.mixture_sample_sql(),
+        "pack_sequences": textops.pack_sequences_sql(),
         "bigram_lm_score": textops.bigram_lm_score_sql(),
         "tfidf_topk": textops.tfidf_topk_sql(),
         "quality_classifier": textops.quality_classifier_sql(),

@@ -1012,3 +1012,208 @@ def neardup_against(documents: DataFrame, reference: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_ref_candidates"))
     )
+
+
+def segment_dedup(documents: DataFrame, seg_words: int = 32) -> DataFrame:
+    """Segment-level corpus-wide exact dedup (the CCNet/RefinedWeb
+    line-dedup family — Wenzek+19 drops duplicated *lines* across the
+    whole crawl; our corpus has no newlines, so the segmenting rule is
+    fixed non-overlapping ``seg_words``-word windows): every segment
+    keeps only its FIRST occurrence in (doc_id, seg_idx) order; each doc
+    is reassembled from its surviving segments; docs whose every segment
+    lost are dropped.
+
+    Output: doc_id, dedup_text, n_kept, n_total.
+
+    Plan at 100 TB: ONE shuffle moves the segment text, keyed by
+    md5(segment) (uniform — no skew), where a row_number window picks
+    the winner (the key is unique per (doc_id, seg_idx), so the pick is
+    total-ordered and deterministic); reassembly is a doc_id-keyed
+    combinable collect; n_total is computed map-side from the word count
+    (integer ceil-div — never re-counts segments). Shuffle volume is the
+    corpus text once — the floor for any content-keyed global dedup.
+    """
+    segs = chunk_documents(documents, chunk_words=seg_words, overlap=0)
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_idx")
+    kept = (
+        segs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text")))
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["chunk_text"]), " "
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    n_words = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    tot = documents.select(
+        "doc_id",
+        F.expr(
+            f"CAST((size(filter(split(text, ' '), x -> x != '')) "
+            f"+ {seg_words - 1}) DIV {seg_words} AS BIGINT)"
+        ).alias("n_total"),
+    )
+    _ = n_words  # documented above; the expr form keeps DIV integer-exact
+    return agg.join(tot, "doc_id").select(
+        "doc_id", "dedup_text", "n_kept", "n_total"
+    )
+
+
+def segment_dedup_sql(seg_words: int = 32) -> str:
+    """DuckDB twin of ``segment_dedup`` (composes chunk_documents_sql)."""
+    chunks = chunk_documents_sql(chunk_words=seg_words, overlap=0)
+    return f"""
+WITH segs AS ({chunks}),
+kept AS (
+  SELECT doc_id, chunk_idx, chunk_text
+  FROM segs
+  QUALIFY row_number() OVER (
+    PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_idx) = 1
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS dedup_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id,
+         CAST((len(list_filter(string_split(text, ' '), x -> x <> ''))
+               + {seg_words - 1}) // {seg_words} AS BIGINT) AS n_total
+  FROM documents
+)
+SELECT a.doc_id, a.dedup_text, a.n_kept, t.n_total
+FROM agg a JOIN tot t USING (doc_id)
+"""
+
+
+def mixture_sample(
+    documents: DataFrame, rate: float = 0.5, salt: str = "mix"
+) -> DataFrame:
+    """Temperature-weighted source-mixture sampling (the GPT-3 /
+    PaLM-style α = 0.5 reweighting: a source's share of the kept corpus
+    ∝ √count, upweighting small high-quality sources relative to raw
+    proportional sampling). Target total = floor(rate · corpus size);
+    per-source quota q_s = N · w_s ÷ Σw (exact integer arithmetic over
+    w_s = floor(100·√c_s); √ is IEEE-correctly-rounded in every engine,
+    and nothing else is floating point — see the ``spark-graft-gotchas``
+    sum-order rule). Selection inside a source is the deterministic
+    md5-prefix rule of ``sketches.hash_sample`` with per-source rate
+    q_s/c_s: keep iff the 4-hex md5(salt:doc_id) prefix sorts below
+    printf('%04x', 65536·q_s ÷ c_s) — so the sample is reproducible
+    across runs, partitionings, and engines, and quota is hit in
+    expectation (binomial concentration; a rank-exact quota would cost a
+    per-source sort — the documented trade).
+
+    Output: doc_id, source. Plan at 100 TB: one combinable count agg
+    (|sources| rows), quota table broadcast back, then a MAP-ONLY
+    md5-prefix filter that fuses into the scan — no window, no skew,
+    no second shuffle.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    c = documents.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    wt = c.withColumn(
+        "wt", F.floor(F.sqrt(F.col("c")) * 100).cast("bigint")
+    )
+    tot = wt.agg(
+        F.sum("c").alias("n_total"), F.sum("wt").alias("wsum")
+    )
+    q = (
+        wt.crossJoin(F.broadcast(tot))
+        .withColumn("n_keep", F.floor(F.col("n_total") * F.lit(rate)).cast("bigint"))
+        .withColumn("q", F.expr("(n_keep * wt) DIV wsum"))
+        .select("source", "c", "q")
+    )
+    pref = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    thresh = F.format_string("%04x", F.expr("(65536 * q) DIV c"))
+    return (
+        documents.join(F.broadcast(q), "source")
+        .where((F.col("q") >= F.col("c")) | (pref < thresh))
+        .select("doc_id", "source")
+    )
+
+
+def mixture_sample_sql(rate: float = 0.5, salt: str = "mix") -> str:
+    """DuckDB twin of ``mixture_sample`` (identical integer quota rule)."""
+    return f"""
+WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+wt AS (SELECT source, c, CAST(floor(sqrt(c) * 100) AS BIGINT) AS wt FROM c),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+               CAST(SUM(wt) AS BIGINT) AS wsum FROM wt),
+q AS (
+  SELECT source, c,
+         (CAST(floor(n_total * {rate!r}) AS BIGINT) * wt) // wsum AS q
+  FROM wt, tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN q USING (source)
+WHERE q.q >= q.c
+   OR substr(md5('{salt}:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+      < printf('%04x', (65536 * q.q) // q.c)
+"""
+
+
+def pack_sequences(documents: DataFrame, seq_len: int = 256) -> DataFrame:
+    """Sequence packing (concat-and-split, the standard LM pre-training
+    batcher): documents are laid end-to-end in (doc_id) order and cut
+    into fixed ``seq_len``-word training sequences; a document lands in
+    the bin its first word falls into. Packing is per SOURCE (the
+    per-shard packing real pipelines run — a single global order would
+    serialize the cumulative sum), so the window is
+    partitionBy(source) — parallel across sources, deterministic within
+    one (doc_id is a unique order key).
+
+    Output: source, seq_bin, n_docs, n_words — the packing manifest
+    (which docs share a training sequence, and its fill in words).
+
+    Plan at 100 TB: one shuffle on source for the running sum, one
+    combinable agg on (source, seq_bin). Skew note: rows-per-source is
+    the skew axis; production shards a huge source by hash(doc_id)
+    into sub-shards first (same rule, composed) — documented rather
+    than silently applied so the twin stays exact.
+    """
+    t = documents.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_words"),
+    )
+    win = Window.partitionBy("source").orderBy("doc_id")
+    c = t.withColumn("cum", F.sum("n_words").over(win))
+    return (
+        c.withColumn("seq_bin", F.expr(f"(cum - n_words) DIV {seq_len}"))
+        .groupBy("source", "seq_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+        )
+    )
+
+
+def pack_sequences_sql(seq_len: int = 256) -> str:
+    """DuckDB twin of ``pack_sequences``."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_words
+  FROM documents
+),
+c AS (
+  SELECT source, n_words,
+         SUM(n_words) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source, CAST((cum - n_words) // {seq_len} AS BIGINT) AS seq_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words
+FROM c
+GROUP BY source, (cum - n_words) // {seq_len}
+"""

@@ -75,3 +75,101 @@ def test_new_ops_plan_shape(spark, docs):
     assert "CartesianProduct" not in tfidf_plan
     # the single BNLJ is the broadcast of the 1-row global count
     assert tfidf_plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+# ---------------- round-4b: segment dedup / mixture / packing ----------------
+
+
+def test_segment_dedup_survivors_unique(spark, docs):
+    """Corpus-wide: every surviving 32-word segment occurs exactly once
+    across all reassembled docs, and counts are consistent."""
+    out = textops.segment_dedup(docs)
+    rows = out.collect()
+    assert len(rows) > 0
+    seen = {}
+    for r in rows:
+        assert 1 <= r.n_kept <= r.n_total
+        # reassembly is kept-segment joined by single spaces: word count
+        # is <= n_kept * 32 (last segment may be short)
+        assert len(r.dedup_text.split(" ")) <= r.n_kept * 32
+        seen[r.doc_id] = r
+    # re-derive survivors from the operator's own chunking and assert
+    # global uniqueness of kept segment text
+    kept = (
+        textops.chunk_documents(docs, chunk_words=32, overlap=0)
+        .groupBy("chunk_text")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dups = kept.where(F.col("c") > 1).count()
+    uniq = kept.where(F.col("c") == 1).count()
+    assert dups + uniq > 0
+    total_kept = sum(r.n_kept for r in rows)
+    assert total_kept == dups + uniq  # one winner per distinct segment
+
+
+def test_segment_dedup_first_wins(spark):
+    """An exact duplicate doc loses every segment to the earlier doc_id;
+    a unique doc survives byte-identical (modulo word-normalization)."""
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [(0, base, "a"), (1, base, "a"), (2, "solo text here", "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in textops.segment_dedup(df).collect()}
+    assert 1 not in got, "duplicate doc must vanish entirely"
+    assert got[0].dedup_text == base
+    assert got[0].n_kept == got[0].n_total == 2  # 40 words -> 2 segments
+    assert got[2].dedup_text == "solo text here"
+
+
+def test_mixture_sample_upweights_small_source(spark):
+    """alpha=0.5: a tiny source's quota meets/exceeds its size (keep all)
+    while the big source is subsampled; output is a deterministic subset."""
+    rows = [(i, f"doc {i}", "big") for i in range(64)]
+    rows += [(1000 + i, f"rare {i}", "small") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out1 = sorted((r.doc_id, r.source) for r in textops.mixture_sample(df).collect())
+    out2 = sorted((r.doc_id, r.source) for r in textops.mixture_sample(df).collect())
+    assert out1 == out2, "md5-prefix rule must be run-deterministic"
+    small_kept = [d for d, s in out1 if s == "small"]
+    big_kept = [d for d, s in out1 if s == "big"]
+    # q_small = (34*200)//1000 = 6 >= 4 -> all kept
+    assert len(small_kept) == 4
+    # q_big = (34*800)//1000 = 27 of 64: binomial around 27/64, never all
+    assert 0 < len(big_kept) < 64
+    assert set(d for d, _ in out1) <= set(r[0] for r in rows)
+
+
+def test_pack_sequences_conservation(spark, docs):
+    """Packing moves every word exactly once: per-source word/doc totals
+    match the input; bins are non-negative."""
+    out = textops.pack_sequences(docs).collect()
+    by_src_words = {}
+    by_src_docs = {}
+    for r in out:
+        assert r.seq_bin >= 0 and r.n_docs >= 1 and r.n_words >= 0
+        by_src_words[r.source] = by_src_words.get(r.source, 0) + r.n_words
+        by_src_docs[r.source] = by_src_docs.get(r.source, 0) + r.n_docs
+    truth = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(
+                F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+            ).alias("w"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in truth:
+        assert by_src_words[r.source] == r.w
+        assert by_src_docs[r.source] == r.n
+
+
+def test_pack_sequences_bin_rule(spark):
+    """A doc lands in the bin of its FIRST word; a long doc advances the
+    cursor past intermediate bins."""
+    rows = [(0, " ".join(["x"] * 300), "s"), (1, " ".join(["y"] * 10), "s"),
+            (2, " ".join(["z"] * 200), "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.seq_bin: r for r in textops.pack_sequences(df, seq_len=256).collect()}
+    # doc0 starts at 0 -> bin 0; doc1 starts at 300 -> bin 1; doc2 at 310 -> bin 1
+    assert out[0].n_docs == 1 and out[0].n_words == 300
+    assert out[1].n_docs == 2 and out[1].n_words == 210
