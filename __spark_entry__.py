@@ -175,6 +175,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus_v3": lambda s, d: simsearch.training_corpus_v3(
             _pii_injected(s, d), _t(s, d, "embeddings")
         ),
+        # round-4 v4 capstone: v3's gate/scrub/dedup chain + segment
+        # dedup + alpha=0.5 mixture sampling + sequence-packing
+        # assignment; source column joins in from the raw documents table
+        "training_corpus_v4": lambda s, d: simsearch.training_corpus_v4(
+            _pii_injected(s, d),
+            _t(s, d, "embeddings"),
+            _t(s, d, "documents"),
+        ),
         # END-TO-END training-data path: extraction -> near-dup dedup ->
         # quality gate -> token accounting, text pinned by md5
         "pipeline_dedup_extract": lambda s, d: textops.training_corpus(
@@ -336,13 +344,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4: per-doc top-k characteristic terms, ratio-idf tf-idf
         # (exact ints + one IEEE division; log idf isn't engine-portable)
         "tfidf_topk": lambda s, d: textops.tfidf_topk(_t(s, d, "documents")),
+        # ==================== position 51+ below: long-stable rows, ====
+        # ==================== driver-green in r03 ======================
         # fasttext/DCLM-style linear quality classifier: hashed-ngram
         # features x broadcast integer weight table, exact-int score
+        # (also exercised in-window as a training_corpus_v3/v4 stage)
         "quality_classifier": lambda s, d: textops.quality_classifier(
             _t(s, d, "documents")
         ),
-        # ==================== position 51+ below: long-stable rows, ====
-        # ==================== driver-green since round 1 ===============
         # LM training-window chunking (overlapping word windows, narrow plan)
         "chunk_documents": lambda s, d: textops.chunk_documents(
             _t(s, d, "documents")
@@ -976,6 +985,9 @@ SELECT doc_id, n_members FROM (
             source_cte=_PII_INJ_CTE
         ),
         "training_corpus_v3": simsearch.training_corpus_v3_sql(
+            source_cte=_PII_INJ_CTE
+        ),
+        "training_corpus_v4": simsearch.training_corpus_v4_sql(
             source_cte=_PII_INJ_CTE
         ),
         "decontaminate": """

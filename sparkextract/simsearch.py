@@ -983,6 +983,140 @@ FROM chunks3 c JOIN kept3 k USING (doc_id)
 """
 
 
+def training_corpus_v4(
+    documents: DataFrame, embeddings: DataFrame, doc_sources: DataFrame,
+    threshold: float = 0.35, n_cells: int | str = "auto", iters: int = 2,
+    nprobe: int = 2, seg_words: int = 32, rate: float = 0.5,
+    salt: str = "mix", seq_len: int = 256,
+) -> DataFrame:
+    """The round-4 capstone — v3's gate/scrub/dedup chain extended with
+    the three corpus-shaping stages a training run needs downstream:
+
+        Gopher gate AND classifier gate → PII scrub → SEMANTIC dedup
+        (semdedup representatives) → exact dedup → SEGMENT dedup
+        (cross-doc 32-word-segment first-wins, docs reassembled) →
+        α=0.5 source-MIXTURE sampling (integer quota + md5-prefix keep)
+        → per-source sequence-PACKING assignment.
+
+    ``doc_sources`` supplies (doc_id, source) — the gate/scrub chain
+    runs on a text-bearing frame (the driver's PII-injected corpus)
+    that doesn't carry the source column.
+
+    Output: one row per doc that survives every stage — (doc_id,
+    source, seq_bin, n_words, text_fp, n_kept); text_fp = md5 of the
+    segment-deduped text pins the emitted bytes through the chain,
+    n_kept = surviving segments.
+
+    Plan at 100 TB: v3's shape (fused scalar gates + broadcast weights,
+    semdedup keyed joins, one md5 shuffle) + one content-keyed segment
+    shuffle + a |sources|-row broadcast quota + one per-source window —
+    nothing all-pairs, nothing per-row Python."""
+    from .textops import (
+        _gopher_pass_col,
+        mixture_sample,
+        pack_assign,
+        pii_scrub,
+        quality_classifier,
+        segment_dedup,
+    )
+
+    qc = quality_classifier(documents).where(F.col("pass")).select("doc_id")
+    gated = documents.where(_gopher_pass_col()).join(qc, "doc_id")
+    scrubbed = pii_scrub(gated).select("doc_id", "scrubbed")
+    reps = semdedup(embeddings, threshold, n_cells, iters, nprobe)
+    sem = scrubbed.join(reps.select("doc_id"), "doc_id")
+    keep = sem.groupBy(F.md5("scrubbed").alias("text_fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = keep.join(sem, "doc_id").select(
+        "doc_id", F.col("scrubbed").alias("text")
+    )
+    segd = segment_dedup(kept, seg_words)
+    withsrc = segd.join(doc_sources.select("doc_id", "source"), "doc_id")
+    sampled = mixture_sample(withsrc, rate, salt)
+    final = withsrc.join(sampled.select("doc_id"), "doc_id")
+    assign = pack_assign(
+        final.select("doc_id", "source", F.col("dedup_text").alias("text")),
+        seq_len,
+    )
+    return assign.join(
+        final.select(
+            "doc_id", F.md5("dedup_text").alias("text_fp"), "n_kept"
+        ),
+        "doc_id",
+    ).select("doc_id", "source", "seq_bin", "n_words", "text_fp", "n_kept")
+
+
+def training_corpus_v4_sql(
+    threshold: float = 0.35, n_cells: int | str = "auto", iters: int = 2,
+    nprobe: int = 2, seg_words: int = 32, rate: float = 0.5,
+    salt: str = "mix", seq_len: int = 256, source_cte: str | None = None,
+) -> str:
+    """DuckDB twin of ``training_corpus_v4`` — stage twins embedded as
+    nested-WITH subqueries (the v3 pattern); the source column joins in
+    from the raw ``documents`` view, mirroring the Spark chain's
+    ``doc_sources`` argument."""
+    from .textops import (
+        gopher_pass_sql,
+        mixture_sample_sql,
+        pack_assign_sql,
+        pii_scrub_sql_expr,
+        quality_classifier_sql,
+        segment_dedup_sql,
+    )
+
+    body = _semdedup_cte_body(threshold, n_cells, iters, nprobe)
+    src = "documents"
+    src_cte = ""
+    if source_cte is not None:
+        src = "src_docs"
+        src_cte = f"src_docs AS ({source_cte}),\n"
+    qc = quality_classifier_sql(src, "text").strip()
+    segd = segment_dedup_sql(seg_words, "kept4", "text").strip()
+    mix = mixture_sample_sql(rate, salt, "withsrc4").strip()
+    pack = pack_assign_sql(seq_len, "final4", "dedup_text").strip()
+    return f"""
+WITH RECURSIVE {src_cte}{body},
+qcpass AS (
+  SELECT doc_id FROM ({qc}) q WHERE q.pass
+),
+gated4 AS (
+  SELECT d.doc_id, d.text FROM {src} d
+  JOIN qcpass USING (doc_id)
+  WHERE {gopher_pass_sql("d.text")}
+),
+scrub4 AS (
+  SELECT doc_id, {pii_scrub_sql_expr("text")} AS scrubbed FROM gated4
+),
+sem4 AS (
+  SELECT s.doc_id, s.scrubbed
+  FROM scrub4 s JOIN sem_reps r USING (doc_id)
+),
+keep4 AS (
+  SELECT md5(scrubbed) AS text_fp, MIN(doc_id) AS doc_id
+  FROM sem4 GROUP BY 1
+),
+kept4 AS (
+  SELECT k.doc_id, s.scrubbed AS text
+  FROM keep4 k JOIN sem4 s ON s.doc_id = k.doc_id
+),
+segd4 AS ({segd}),
+withsrc4 AS (
+  SELECT g.doc_id, g.dedup_text, g.n_kept, d.source
+  FROM segd4 g JOIN documents d USING (doc_id)
+),
+sampled4 AS ({mix}),
+final4 AS (
+  SELECT w.doc_id, w.source, w.dedup_text, w.n_kept
+  FROM withsrc4 w JOIN sampled4 s ON s.doc_id = w.doc_id
+),
+assign4 AS ({pack})
+SELECT a.doc_id, a.source, a.seq_bin, a.n_words,
+       md5(f.dedup_text) AS text_fp, f.n_kept
+FROM assign4 a JOIN final4 f ON f.doc_id = a.doc_id
+"""
+
+
 def cosine_neardup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Embedding-cosine near-dup pairs: cos(a,b) > t via the integer-exact
     inequality dot² · 10⁶ > t²·10⁶ · |a|²·|b|² (no sqrt, no FP division).

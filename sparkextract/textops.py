@@ -1061,9 +1061,16 @@ def segment_dedup(documents: DataFrame, seg_words: int = 32) -> DataFrame:
     )
 
 
-def segment_dedup_sql(seg_words: int = 32) -> str:
-    """DuckDB twin of ``segment_dedup`` (composes chunk_documents_sql)."""
-    chunks = chunk_documents_sql(chunk_words=seg_words, overlap=0)
+def segment_dedup_sql(
+    seg_words: int = 32, source_sql: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of ``segment_dedup`` (composes chunk_documents_sql;
+    source/text parameterized so composed pipelines can dedup an
+    upstream CTE)."""
+    chunks = chunk_documents_sql(
+        chunk_words=seg_words, overlap=0,
+        source_sql=source_sql, text_col=text_col,
+    )
     return f"""
 WITH segs AS ({chunks}),
 kept AS (
@@ -1080,9 +1087,9 @@ agg AS (
 ),
 tot AS (
   SELECT doc_id,
-         CAST((len(list_filter(string_split(text, ' '), x -> x <> ''))
+         CAST((len(list_filter(string_split({text_col}, ' '), x -> x <> ''))
                + {seg_words - 1}) // {seg_words} AS BIGINT) AS n_total
-  FROM documents
+  FROM {source_sql}
 )
 SELECT a.doc_id, a.dedup_text, a.n_kept, t.n_total
 FROM agg a JOIN tot t USING (doc_id)
@@ -1138,10 +1145,13 @@ def mixture_sample(
     )
 
 
-def mixture_sample_sql(rate: float = 0.5, salt: str = "mix") -> str:
-    """DuckDB twin of ``mixture_sample`` (identical integer quota rule)."""
+def mixture_sample_sql(
+    rate: float = 0.5, salt: str = "mix", source_sql: str = "documents"
+) -> str:
+    """DuckDB twin of ``mixture_sample`` (identical integer quota rule;
+    ``source_sql`` must yield at least (doc_id, source))."""
     return f"""
-WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+WITH c AS (SELECT source, COUNT(*) AS c FROM {source_sql} GROUP BY source),
 wt AS (SELECT source, c, CAST(floor(sqrt(c) * 100) AS BIGINT) AS wt FROM c),
 tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
                CAST(SUM(wt) AS BIGINT) AS wsum FROM wt),
@@ -1151,7 +1161,7 @@ q AS (
   FROM wt, tot
 )
 SELECT d.doc_id, d.source
-FROM documents d JOIN q USING (source)
+FROM {source_sql} d JOIN q USING (source)
 WHERE q.q >= q.c
    OR substr(md5('{salt}:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
       < printf('%04x', (65536 * q.q) // q.c)
@@ -1177,6 +1187,21 @@ def pack_sequences(documents: DataFrame, seq_len: int = 256) -> DataFrame:
     into sub-shards first (same rule, composed) — documented rather
     than silently applied so the twin stays exact.
     """
+    return (
+        pack_assign(documents, seq_len)
+        .groupBy("source", "seq_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+        )
+    )
+
+
+def pack_assign(documents: DataFrame, seq_len: int = 256) -> DataFrame:
+    """Per-doc packing assignment (the core rule of ``pack_sequences``,
+    exposed for composed pipelines): doc_id, source, n_words, seq_bin —
+    the bin the doc's FIRST word lands in under per-source
+    concat-and-split."""
     t = documents.select(
         "doc_id",
         "source",
@@ -1186,34 +1211,46 @@ def pack_sequences(documents: DataFrame, seq_len: int = 256) -> DataFrame:
     )
     win = Window.partitionBy("source").orderBy("doc_id")
     c = t.withColumn("cum", F.sum("n_words").over(win))
-    return (
-        c.withColumn("seq_bin", F.expr(f"(cum - n_words) DIV {seq_len}"))
-        .groupBy("source", "seq_bin")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_words").cast("bigint").alias("n_words"),
-        )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_words",
+        F.expr(f"CAST((cum - n_words) DIV {seq_len} AS BIGINT)").alias(
+            "seq_bin"
+        ),
     )
 
 
-def pack_sequences_sql(seq_len: int = 256) -> str:
-    """DuckDB twin of ``pack_sequences``."""
+def pack_assign_sql(
+    seq_len: int = 256, source_sql: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of ``pack_assign`` (source/text parameterized)."""
     return f"""
 WITH t AS (
   SELECT doc_id, source,
-         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         CAST(len(list_filter(string_split({text_col}, ' '), x -> x <> ''))
               AS BIGINT) AS n_words
-  FROM documents
+  FROM {source_sql}
 ),
 c AS (
-  SELECT source, n_words,
+  SELECT doc_id, source, n_words,
          SUM(n_words) OVER (PARTITION BY source ORDER BY doc_id
                             ROWS UNBOUNDED PRECEDING) AS cum
   FROM t
 )
-SELECT source, CAST((cum - n_words) // {seq_len} AS BIGINT) AS seq_bin,
+SELECT doc_id, source, n_words,
+       CAST((cum - n_words) // {seq_len} AS BIGINT) AS seq_bin
+FROM c
+"""
+
+
+def pack_sequences_sql(seq_len: int = 256) -> str:
+    """DuckDB twin of ``pack_sequences`` (composes pack_assign_sql)."""
+    return f"""
+WITH a AS ({pack_assign_sql(seq_len)})
+SELECT source, seq_bin,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_words) AS BIGINT) AS n_words
-FROM c
-GROUP BY source, (cum - n_words) // {seq_len}
+FROM a
+GROUP BY source, seq_bin
 """

@@ -125,3 +125,44 @@ def test_length_quantiles_exact(spark):
     got = {r.q: r.value for r in textops.length_quantiles(df).collect()}
     # nearest-rank (ceil) over 10 sorted values 10..100
     assert got == {50: 50, 90: 90, 99: 100}
+
+
+def test_training_corpus_v4_stages_bite(spark):
+    """Round-4 capstone: the three added stages (segment dedup, mixture
+    sampling, packing) must each act non-vacuously on top of v3's chain."""
+    from pyspark.sql import functions as F
+
+    from sparkextract import simsearch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = simsearch.training_corpus_v4(docs, emb, docs).cache()
+    rows = out.collect()
+    assert len(rows) > 0
+    # mixture sampling bites: fewer docs than survive the dedup chain
+    # (re-derive the pre-sampling population from the same chain prefix)
+    qc = textops.quality_classifier(docs).where(F.col("pass")).select("doc_id")
+    gated = docs.where(textops._gopher_pass_col()).join(qc, "doc_id")
+    scrubbed = textops.pii_scrub(gated).select("doc_id", "scrubbed")
+    reps = simsearch.semdedup(emb)
+    sem = scrubbed.join(reps.select("doc_id"), "doc_id")
+    keep = sem.groupBy(F.md5("scrubbed").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    pre_sampling = keep.count()
+    assert 0 < len(rows) < pre_sampling  # sampling bites
+    # segment dedup bites somewhere: at least one doc lost a segment
+    assert any(r.n_kept >= 1 for r in rows)
+    segd = textops.segment_dedup(
+        keep.join(sem, "doc_id").select(
+            "doc_id", F.col("scrubbed").alias("text")
+        )
+    )
+    assert segd.where(F.col("n_kept") < F.col("n_total")).count() > 0
+    # packing bites: some sequence bin holds >1 doc
+    bins = {}
+    for r in rows:
+        bins[(r.source, r.seq_bin)] = bins.get((r.source, r.seq_bin), 0) + 1
+    assert max(bins.values()) > 1
+    assert all(r.seq_bin >= 0 and r.n_words >= 0 for r in rows)
+    out.unpersist()
