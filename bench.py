@@ -162,6 +162,20 @@ def run(spark) -> dict:
     )
     bench("neardup_clusters", lambda: simsearch.neardup_clusters(t("documents")))
     bench("semdedup", lambda: simsearch.semdedup(t("embeddings"), n_cells="auto"))
+    bench("segment_dedup", lambda: textops.segment_dedup(big_docs))
+    # replicate_documents keeps only (doc_id, text); re-derive the
+    # source key for the two source-keyed ops
+    from pyspark.sql import functions as _F
+
+    big_src = big_docs.withColumn(
+        "source", _F.concat(_F.lit("src"), (_F.col("doc_id") % 20).cast("string"))
+    )
+    bench("mixture_sample", lambda: textops.mixture_sample(big_src))
+    bench("pack_sequences", lambda: textops.pack_sequences(big_src))
+    bench(
+        "training_corpus_v4",
+        lambda: simsearch.training_corpus_v4(docs, t("embeddings"), docs),
+    )
     bench("o5_interval_union", lambda: relops.interval_union(t("orders")))
     bench("j1_first_wins", lambda: relops.first_wins_fill(t("lineitem")))
 

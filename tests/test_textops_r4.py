@@ -173,3 +173,24 @@ def test_pack_sequences_bin_rule(spark):
     # doc0 starts at 0 -> bin 0; doc1 starts at 300 -> bin 1; doc2 at 310 -> bin 1
     assert out[0].n_docs == 1 and out[0].n_words == 300
     assert out[1].n_docs == 2 and out[1].n_words == 210
+
+
+def test_round4b_plan_shapes(spark, docs):
+    """Scale guards: mixture_sample is broadcast-only (no sort-merge, no
+    window); pack_sequences reuses the window's source partitioning for
+    the final agg (exactly ONE exchange); segment_dedup has no
+    nested-loop anywhere."""
+    mix = textops.mixture_sample(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in mix and "CartesianProduct" not in mix
+    assert "BroadcastHashJoin" in mix  # quota table joins broadcast
+    assert mix.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total
+    assert "Window" not in mix
+
+    pack = textops.pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+    # hashpartitioning(source) from the window satisfies the
+    # (source, seq_bin) grouping -> no second exchange
+    assert pack.count("Exchange") == 1, pack
+
+    seg = textops.segment_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in seg
+    assert "BroadcastNestedLoopJoin" not in seg
