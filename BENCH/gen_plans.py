@@ -94,6 +94,25 @@ sections = [
      "bucket join inside neardup_clusters (materialized by its driver "
      "loop), and one representatives join; the quality gate and token "
      "counts are whole-stage-codegen'd expressions on the join output."),
+    ("Segment-level corpus dedup (r4)",
+     textops.segment_dedup(docs),
+     "The corpus text shuffles ONCE keyed by md5(segment) - uniform, "
+     "skew-free - where a row_number window picks the first "
+     "occurrence; reassembly is a doc_id-keyed ordered collect and the "
+     "map-side ceil-div total joins back doc_id-keyed. No nested-loop "
+     "anywhere."),
+    ("Temperature mixture sampling (r4)",
+     textops.mixture_sample(docs),
+     "One combinable per-source count (|sources| rows), the quota "
+     "table broadcast back, then a MAP-ONLY md5-prefix filter fused "
+     "into the scan: the corpus itself never shuffles and there is no "
+     "window - at 100 TB this is a bandwidth-bound single pass."),
+    ("Sequence packing manifest (r4)",
+     textops.pack_sequences(docs),
+     "ONE exchange total: the per-source running-sum window partitions "
+     "on source, and the final (source, seq_bin) aggregation reuses "
+     "that partitioning (source is a prefix of the grouping key), so "
+     "Catalyst plans no second shuffle - plan-guarded by test."),
 ]
 out = ["# PLANS — physical plans of the headline jobs",
        "",
