@@ -1047,7 +1047,6 @@ def segment_dedup(documents: DataFrame, seg_words: int = 32) -> DataFrame:
         ).alias("dedup_text"),
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
     )
-    n_words = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
     tot = documents.select(
         "doc_id",
         F.expr(
@@ -1055,7 +1054,6 @@ def segment_dedup(documents: DataFrame, seg_words: int = 32) -> DataFrame:
             f"+ {seg_words - 1}) DIV {seg_words} AS BIGINT)"
         ).alias("n_total"),
     )
-    _ = n_words  # documented above; the expr form keeps DIV integer-exact
     return agg.join(tot, "doc_id").select(
         "doc_id", "dedup_text", "n_kept", "n_total"
     )
