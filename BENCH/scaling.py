@@ -159,7 +159,15 @@ def main() -> None:
         "efficiency_staged_normalized": round(eff_staged / ceiling, 3),
     }
     bench_dir = os.path.join(ROOT, "BENCH")
-    name = "scaling_fusedonly.json" if FUSED_ONLY else "scaling.json"
+    # SCALE_OUT tags the archive filename (e.g. SCALE_OUT=r5_a →
+    # scaling_r5_a.json) so every run cited from BASELINE.md exists at its
+    # cited name in the same commit — r4-B was lost to an in-place
+    # scaling.json overwrite and had to be recovered from git history.
+    tag = os.environ.get("SCALE_OUT", "")
+    if tag:
+        name = f"scaling_{tag}.json"
+    else:
+        name = "scaling_fusedonly.json" if FUSED_ONLY else "scaling.json"
     with open(os.path.join(bench_dir, name), "w") as f:
         json.dump(out, f, indent=2)
     if FUSED_ONLY or not WRITE_MD:

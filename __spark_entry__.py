@@ -1023,10 +1023,14 @@ WITH rk AS (
   SELECT DISTINCT md5(substr(text, 1, 64)) AS key
   FROM documents WHERE doc_id % 4 = 0
 )
-SELECT doc_id, md5(substr(text, 1, 64)) AS key
-FROM documents
-WHERE doc_id % 4 <> 0
-  AND md5(substr(text, 1, 64)) NOT IN (SELECT key FROM rk)
+SELECT d.doc_id, md5(substr(d.text, 1, 64)) AS key
+FROM documents d
+WHERE d.doc_id % 4 <> 0
+  -- NOT EXISTS, not NOT IN: Spark's left_anti is null-unsafe (a NULL
+  -- key never matches, the row SURVIVES); NOT IN over a set containing
+  -- NULL evaluates to NULL and would drop every row
+  AND NOT EXISTS (SELECT 1 FROM rk
+                  WHERE rk.key = md5(substr(d.text, 1, 64)))
 """,
         "neardup_against": f"""
 WITH {_band_cte("c", "doc_id % 4 <> 0")},

@@ -104,7 +104,11 @@ def run(spark) -> dict:
     # warm-up: JVM/codegen/Arrow paths (not reported)
     force_once(lambda: min_slice(docs.limit(50)))
 
-    bench("extract_pipeline", lambda: extract_fused(transcripts))
+    # key renamed from "extract_pipeline" in round 5: it has always benched
+    # the FUSED engine while queries()'s "extract_pipeline" is the staged
+    # one — the old name made round-over-round deltas compare different
+    # engines. History: BENCH_r01-r04 "extract_pipeline" == this key.
+    bench("extract_fused", lambda: extract_fused(transcripts))
     bench("extract_staged", lambda: pipeline.extract(transcripts), clear_cache=True)
     bench("extract_min_slice", lambda: min_slice(big_docs))
     bench("dedup_exact", lambda: textops.exact_dedup(big_docs))
@@ -219,7 +223,7 @@ def run(spark) -> dict:
         "sf": _sf(),
         "master": MASTER,
         "turns": n_turns,
-        "turns_per_sec": round(n_turns / timings["extract_pipeline"], 1),
+        "turns_per_sec": round(n_turns / timings["extract_fused"], 1),
     }
 
 
@@ -229,12 +233,27 @@ def main() -> None:
         result = run(spark)
     finally:
         spark.stop()
-    # ONE-LINE JSON contract: the driver parses the captured output tail.
-    # Console progress is disabled session-wide (session.py) because the
-    # stderr bars interleaved into the r03 capture and truncated the line;
-    # flush both streams first so nothing Spark buffered lands mid-line,
-    # then write the line + newline in a single syscall-sized write.
-    line = json.dumps(result)
+    # ONE-LINE JSON contract: the driver keeps only the LAST 2000 BYTES of
+    # stdout (BENCH_r03/r04 both captured exactly-2000-byte tails starting
+    # mid-line — the full ~4.5 KB line never fit). So: full detail goes to
+    # BENCH/last_suite.json; stdout gets a COMPACT headline that must fit
+    # entirely inside the tail. Per-query medians ride along at 1-decimal
+    # precision only if the line stays under budget; spreads never do.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH", "last_suite.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+
+    headline = {k: v for k, v in result.items() if k != "queries_spread"}
+    headline["queries"] = {k: round(v, 1) for k, v in result["queries"].items()}
+    headline["detail"] = "BENCH/last_suite.json"
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) >= 1800:
+        headline.pop("queries")
+        line = json.dumps(headline, separators=(",", ":"))
+    assert len(line) < 1800, len(line)
     sys.stderr.flush()
     sys.stdout.flush()
     sys.stdout.write(line + "\n")

@@ -208,14 +208,17 @@ def read_changes(
     if not changed:
         return data.where(F.lit(False))
     lin = spark.read.parquet(os.path.join(out_dir, LINEAGE_DIR))
-    committed = {
-        s: [
-            int(r.partition_id)
-            for r in lin.where(F.col("input_snapshot") == s)
-            .select("partition_id").distinct().collect()
-        ]
-        for s in changed
-    }
+    # ONE collect for the whole range (metadata-sized: ≤ snapshots ×
+    # buckets rows), grouped client-side — a per-snapshot collect would
+    # issue O(k) Spark jobs over the same lineage table on long chains
+    committed: dict[str, list[int]] = {s: [] for s in changed}
+    for r in (
+        lin.where(F.col("input_snapshot").isin(changed))
+        .select("input_snapshot", "partition_id")
+        .distinct()
+        .collect()
+    ):
+        committed[r.input_snapshot].append(int(r.partition_id))
     pred = reduce(
         or_,
         [

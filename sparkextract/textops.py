@@ -1102,9 +1102,12 @@ def mixture_sample(
     ∝ √count, upweighting small high-quality sources relative to raw
     proportional sampling). Target total = floor(rate · corpus size);
     per-source quota q_s = N · w_s ÷ Σw (exact integer arithmetic over
-    w_s = floor(100·√c_s); √ is IEEE-correctly-rounded in every engine,
-    and nothing else is floating point — see the ``spark-graft-gotchas``
-    sum-order rule). Selection inside a source is the deterministic
+    w_s = floor(100·√c_s); √ is IEEE-correctly-rounded in every engine).
+    Two terms ARE floating point and must be computed identically by any
+    twin: this √, and N = floor(n_total · rate) — rate multiplies as an
+    IEEE DOUBLE on the Spark side, so the DuckDB twin casts the rate
+    literal to DOUBLE too (a bare SQL literal would be DECIMAL and
+    multiply exactly; floor(100 * 0.29) already diverges 29 vs 28). Selection inside a source is the deterministic
     md5-prefix rule of ``sketches.hash_sample`` with per-source rate
     q_s/c_s: keep iff the 4-hex md5(salt:doc_id) prefix sorts below
     printf('%04x', 65536·q_s ÷ c_s) — so the sample is reproducible
@@ -1155,7 +1158,7 @@ tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
                CAST(SUM(wt) AS BIGINT) AS wsum FROM wt),
 q AS (
   SELECT source, c,
-         (CAST(floor(n_total * {rate!r}) AS BIGINT) * wt) // wsum AS q
+         (CAST(floor(n_total * CAST({rate!r} AS DOUBLE)) AS BIGINT) * wt) // wsum AS q
   FROM wt, tot
 )
 SELECT d.doc_id, d.source
