@@ -110,15 +110,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict INSERTION ORDER is load-bearing: the driver's correctness gate
-    samples the FIRST 50 entries (CORRECTNESS_r03 = positions 1-50
-    verbatim), so positions 1-50 carry the highest-risk queries — the
-    flagship e2e extraction, every task_* API, the composed pipelines,
-    semdedup/near-dup/ANN variants, and everything whose implementation
-    changed this round. The 23 tail entries (51-73) are the relational /
-    F-series rows that have been driver-green since round 1 and whose
-    code is untouched. Do not re-sort thematically."""
-    return {
+    """Dict INSERTION ORDER is load-bearing: the driver's correctness
+    gate samples the FIRST 50 entries. Since round 5 the order is
+    computed (``_window_order``): ``_PINNED`` (the flagship, every
+    task_*, the capstones, and everything whose implementation or twin
+    changed in the current round) always leads; the remaining window
+    slots CYCLE through ``_ROTATING`` so every long-stable query regains
+    a fresh driver-green row every ~2 rounds (round-5 VERDICT item 4;
+    rotation rule documented in CLAUDE.md). The literal below stays in
+    thematic registry order — do not re-sort it; adjust _PINNED/_ROUND
+    instead."""
+    q = {
         # --- flagship: full e2e extraction, FULLY ORACLED (e2e_sql.extract_sql
         # composes the NMS/OCR/F1 recursive-CTE twins with relational
         # J1/A2/A3/A4). main_text compared byte-for-byte; spans pinned via
@@ -416,6 +418,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_geometry_normalize": lambda s, d: relops.geometry_normalize(_t(s, d, "lineitem")),
         "f6_f7_trunc_round": lambda s, d: relops.trunc_round(_t(s, d, "lineitem")),
     }
+    order = _window_order(set(q))
+    return {name: q[name] for name in order}
+
+
+# --- driver-window rotation (round-5 VERDICT item 4) -----------------------
+# The driver's correctness gate checks only the FIRST 50 queries() entries.
+# _PINNED entries hold a window slot EVERY round: the flagship pair, all
+# task_* APIs, the four composed capstones, plus whatever changed in the
+# CURRENT round (round 5: the auto-nprobe semdedup/IVF chain and the two
+# round-5 twin fixes — dedup_against NOT EXISTS, mixture_sample rate cast).
+# The remaining 50 - len(_PINNED) slots cycle through _ROTATING, advancing
+# by the window size each round (_ROUND is bumped when the round starts),
+# so every long-stable query regains a FRESH driver-green row every
+# ceil(len(_ROTATING) / (50 - len(_PINNED))) ≈ 2 rounds. _ROTATING leads
+# with the 31 rows that sat OUTSIDE the r04 window (stalest coverage
+# first); the 30 rows that were green in r04 follow.
+
+_ROUND = 5
+
+_PINNED = [
+    "extract_pipeline", "extract_fused",
+    "task_layout_detection", "task_formula_detection",
+    "task_layout_detection_v2", "task_visualization", "task_ocr_spans",
+    "task_ocr_crop_assign", "task_formula_recognition", "task_table_parsing",
+    "semdedup", "training_corpus_v2", "training_corpus_v3",
+    "training_corpus_v4", "pipeline_dedup_extract",
+    "cosine_neardup_ivf", "dedup_against", "mixture_sample",
+    "segment_dedup", "pack_sequences",
+]
+
+_ROTATING = [
+    # --- outside the r04 window (last driver-green r03 or earlier) ---
+    "quality_classifier", "chunk_documents", "vocab_stats",
+    "length_quantiles", "pii_scrub", "minhash_signature", "simhash",
+    "doc_fingerprint", "gopher_quality", "repetition_stats", "hll_words",
+    "cms_words", "hash_sample_docs", "dedup_exact", "lang_id_ngram",
+    "quality_score", "token_count", "extract_min_slice", "asof_join",
+    "sessionize", "session_window_agg", "o1_reading_order",
+    "o5_interval_union", "j1_first_wins", "f2_lang_detect", "f3_md_escape",
+    "p5_boilerplate_emit", "p2_a1_conf_envelope", "f9_page_id",
+    "p6_geometry_normalize", "f6_f7_trunc_round",
+    # --- driver-green in r04, unchanged since ---
+    "decontaminate", "neardup_against", "cosine_neardup_lsh",
+    "neardup_clusters", "dedup_representatives", "baseline_cosine_neardup",
+    "baseline_cosine_neardup_blocked", "ann_ivf_topk_trained",
+    "ann_ivf_topk_nprobe", "ann_ivf_train", "ann_ivf_topk",
+    "baseline_ann_cosine_topk", "url_canonicalize", "url_dedup",
+    "url_domain_stats", "blocklist_filter", "bpe_merges", "bpe_vocab",
+    "html_main_content", "html_block_stats", "html_dom_extract",
+    "html_extract_turns", "lsh_candidate_pairs", "simhash_neardup",
+    "ngram_jaccard", "substring_dup_spans", "winnow_fingerprints",
+    "winnow_fingerprints_k4", "bigram_lm_score", "tfidf_topk",
+]
+
+
+def _window_order(all_names: set) -> list:
+    """Window = _PINNED + the next (50 - len(_PINNED)) names of the
+    _ROTATING cycle; everything else follows in cycle order."""
+    assert set(_PINNED).isdisjoint(_ROTATING)
+    assert set(_PINNED) | set(_ROTATING) == all_names, (
+        sorted(all_names - set(_PINNED) - set(_ROTATING)),
+        sorted((set(_PINNED) | set(_ROTATING)) - all_names),
+    )
+    take = 50 - len(_PINNED)
+    start = ((_ROUND - 5) * take) % len(_ROTATING)
+    cycled = _ROTATING[start:] + _ROTATING[:start]
+    return _PINNED + cycled[:take] + cycled[take:]
 
 
 def _winnow_sql(k: int, w: int) -> str:

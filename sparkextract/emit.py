@@ -70,7 +70,16 @@ def emit_extracted(blocks: DataFrame, pages: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("piece"),
         F.lit(None).cast(rendered.schema["span"].dataType).alias("span"),
     )
-    both = rendered.unionByName(sentinel)
+    # Tail fuse (round-5 VERDICT item 5): ONE explicit conv_id exchange
+    # here satisfies the ClusteredDistribution of BOTH aggregations below
+    # (hash partitioning on a SUBSET of the grouping keys co-locates every
+    # group) AND the caller's turn_seq window partitionBy(conv_id) — the
+    # planner then emits zero further exchanges for the A3 → A4 → O8 tail
+    # (was: three, one per stage; plan-guarded by test_staged_tail_fused).
+    # Trade, stated: page-level agg parallelism becomes conv-level; turns
+    # per conversation is bounded (north_rule transcripts), and the hot-
+    # conversation skew axis already existed at the window — unchanged.
+    both = rendered.unionByName(sentinel).repartition(F.col("conv_id"))
     ordered = F.filter(
         F.array_sort(
             F.collect_list(

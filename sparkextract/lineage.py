@@ -33,8 +33,16 @@ snapshots in ``(from, to]`` through the manifest (Iceberg incremental
 append-scan), and ``extract_incremental`` maintains the append-oriented
 snapshot chain by extracting only input files no snapshot has covered
 (exact for conversation-aligned appends; boundary documented on the
-function). What is NOT: no catalog, no
-manifest-file format, no sorted writes, no partition evolution, and the
+function); (e) SCHEMA EVOLUTION (add-column) — each snapshot's data
+files carry their own schema, a pinned ``read_snapshot`` serves the
+SNAPSHOT'S OWN schema (Iceberg records a schema-id per snapshot and a
+time-travel read uses it), and ``read_changes`` spanning an add-column
+boundary merges schemas so pre-evolution rows read NULL for the new
+column (Iceberg's add-column read semantics; see ``read_changes``).
+What is NOT: no catalog, no
+manifest-file format, no sorted writes, no column renames/drops or
+type promotion (parquet schema merge cannot express those without the
+field-id indirection a real manifest provides), and the
 manifest rewrite in ``expire_snapshots`` is a directory swap rather
 than an atomic catalog commit (a crash mid-swap needs the ``_tmp``
 directory recovered by hand — exactly the gap a real catalog closes).
@@ -134,9 +142,11 @@ def read_snapshot(
     (max committed_at). Only buckets the manifest records as committed
     for that snapshot are visible — a crash between data-write and
     manifest-append stays invisible, the same read-committed contract the
-    resume path relies on. File selection is partition pruning on the
-    ``snapshot``/``bucket`` partition columns (no directory listing of
-    other snapshots' data)."""
+    resume path relies on. Only the pinned snapshot's ``data/snapshot=<id>``
+    directory is listed or read, so the result carries the SNAPSHOT'S OWN
+    schema: a column added by a later snapshot does not appear in an
+    older pinned read (Iceberg time travel reads with the snapshot's
+    recorded schema-id — here the data files themselves are the record)."""
     lin = spark.read.parquet(os.path.join(out_dir, LINEAGE_DIR))
     if snapshot is None:
         latest = (
@@ -154,10 +164,12 @@ def read_snapshot(
     ]
     if not committed:
         raise ValueError(f"read_snapshot: unknown snapshot {snapshot!r} in {out_dir}")
-    data = spark.read.parquet(os.path.join(out_dir, DATA_DIR))
-    return data.where(
-        (F.col("snapshot") == snapshot) & F.col("bucket").isin(committed)
+    data_path = os.path.join(out_dir, DATA_DIR)
+    data = (
+        spark.read.option("basePath", data_path)
+        .parquet(os.path.join(data_path, f"snapshot={snapshot}"))
     )
+    return data.where(F.col("bucket").isin(committed))
 
 
 def read_changes(
@@ -177,10 +189,12 @@ def read_changes(
     ``extract_incremental`` maintains. ``to_snapshot=None`` = latest.
 
     Only (snapshot, bucket) pairs the manifest records as committed are
-    visible (same read-committed contract as ``read_snapshot``), and the
-    whole filter is a static predicate over the two partition columns, so
-    file selection is partition pruning — no data of untouched snapshots
-    is listed or read."""
+    visible (same read-committed contract as ``read_snapshot``); only the
+    CHANGED snapshots' ``data/snapshot=<id>`` directories are listed or
+    read, with parquet schema MERGE across them — so a range spanning an
+    add-column schema evolution returns the union schema, and rows from
+    pre-evolution snapshots read NULL for the added column (Iceberg's
+    add-column incremental-read semantics)."""
     from functools import reduce
     from operator import or_
 
@@ -204,9 +218,13 @@ def read_changes(
                 f"read_changes: {from_snapshot!r} committed after {to_snapshot!r}"
             )
         changed = log[i + 1 : j + 1]
-    data = spark.read.parquet(os.path.join(out_dir, DATA_DIR))
+    data_path = os.path.join(out_dir, DATA_DIR)
     if not changed:
-        return data.where(F.lit(False))
+        # empty range: schema = the full table's merged schema, zero rows
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(data_path).where(F.lit(False))
+        )
     lin = spark.read.parquet(os.path.join(out_dir, LINEAGE_DIR))
     # ONE collect for the whole range (metadata-sized: ≤ snapshots ×
     # buckets rows), grouped client-side — a per-snapshot collect would
@@ -219,6 +237,11 @@ def read_changes(
         .collect()
     ):
         committed[r.input_snapshot].append(int(r.partition_id))
+    data = (
+        spark.read.option("basePath", data_path)
+        .option("mergeSchema", "true")
+        .parquet(*[os.path.join(data_path, f"snapshot={s}") for s in changed])
+    )
     pred = reduce(
         or_,
         [
@@ -365,12 +388,19 @@ def run_with_lineage(
     out_dir: str,
     snapshot: str | None = None,
     buckets: int = 64,
+    transform=None,
     **extract_kw,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict.
 
     ``snapshot=None`` derives a content-addressed id from the input file
     listing (``snapshot_id``); file-less DataFrames need an explicit one.
+
+    ``transform`` (default ``pipeline.extract``) maps the bucketed input
+    slice to the output rows; a later snapshot may use a transform whose
+    output ADDS columns (schema evolution) — pinned reads of older
+    snapshots keep their own schema, ``read_changes`` merges across the
+    boundary. It must keep ``conv_id`` (the bucket/partition key).
     """
     if snapshot is None:
         snapshot = snapshot_id(transcripts)
@@ -399,7 +429,8 @@ def run_with_lineage(
     src = src.observe(obs_in, F.count(F.lit(1)).alias("total"), *_counts("b"))
 
     t0 = time.perf_counter()
-    out = extract(src.drop("bucket"), **extract_kw).withColumn(
+    fn = transform if transform is not None else extract
+    out = fn(src.drop("bucket"), **extract_kw).withColumn(
         "bucket", _bucket(F.col("conv_id"), buckets)
     )
     out = out.observe(obs_out, F.count(F.lit(1)).alias("total"), *_counts("b"))

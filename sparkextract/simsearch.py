@@ -314,12 +314,16 @@ def _auto_cells_sql() -> str:
     of two p in [8, 2^30] with p*p <= n): a one-row params CTE computed
     from the same corpus count, so the twin needs NO precomputed constant
     (round-3 VERDICT item: the driver-exposed path must be the
-    scale-safe auto one without a hand-pinned k)."""
+    scale-safe auto one without a hand-pinned k). Round 5: the CTE also
+    derives ``nprobe`` = GREATEST(4, cells // 4) — the coupled recall
+    knob, EXACTLY ``auto_nprobe``."""
     return """params AS (
-  SELECT GREATEST(8, COALESCE(MAX(CASE WHEN pw.p * pw.p <= t.n THEN pw.p END), 8))
-           AS cells
-  FROM (SELECT COUNT(*) AS n FROM embeddings) t,
-       (SELECT CAST(1 AS BIGINT) << CAST(unnest(range(3, 31)) AS INT) AS p) pw
+  SELECT cells, GREATEST(4, cells // 4) AS nprobe FROM (
+    SELECT GREATEST(8, COALESCE(MAX(CASE WHEN pw.p * pw.p <= t.n THEN pw.p END), 8))
+             AS cells
+    FROM (SELECT COUNT(*) AS n FROM embeddings) t,
+         (SELECT CAST(1 AS BIGINT) << CAST(unnest(range(3, 31)) AS INT) AS p) pw
+  )
 )"""
 
 
@@ -615,9 +619,32 @@ def auto_cells(n: int) -> int:
     return cells
 
 
+def auto_nprobe(cells: int) -> int:
+    """The ``nprobe="auto"`` rule, COUPLED to the cell count (round-5
+    VERDICT item 3): ``max(4, cells // 4)``. Rationale, from the
+    measured grid (BENCH/recall_grid.json, committed): pair recall at a
+    FIXED nprobe decays as cells grow (n=2000: nprobe=2 recall 0.72 @ 8
+    cells → 0.44 @ 32), while holding nprobe/cells = 1/4 keeps it ≥
+    0.95 at every auto operating point measured (0.9668 @ 16 cells
+    sf0.01, 0.9978 @ 32 cells sf0.1); the floor of 4 covers the 8-cell
+    minimum, where cells//4 = 2 measures only 0.72-0.78.
+
+    Honest cost note (SCALE.md §near-dup): on UNIFORM embeddings the
+    ratio rule means per-cell candidate work no longer shrinks with
+    more cells — coverage nprobe/cells is what recall tracks when
+    vectors have no cluster structure, so constant recall costs
+    ∝ n²·cells/16 candidate pairs pre-dedup. On real clustered
+    embeddings (the production case) near-dups concentrate in few
+    cells and a pinned small nprobe suffices — the parameter stays
+    exposed for exactly that. Must stay EXACTLY equivalent to the
+    ``nprobe`` column of ``_auto_cells_sql``."""
+    return max(4, cells // 4)
+
+
 def cosine_neardup_ivf(
     embeddings: DataFrame, threshold: float = 0.35,
-    n_cells: int | str = "auto", iters: int = 2, nprobe: int = 2,
+    n_cells: int | str = "auto", iters: int = 2,
+    nprobe: int | str = "auto",
 ) -> DataFrame:
     """Embedding-side production near-dup: candidates = pairs sharing any
     of each vector's ``nprobe`` closest TRAINED IVF cells (cell-keyed
@@ -629,9 +656,15 @@ def cosine_neardup_ivf(
 
     ``n_cells`` defaults to ``"auto"`` (one corpus count → ``auto_cells``)
     so the DEFAULT path is the one that survives corpus growth; pass an
-    int to pin it (e.g. for a twin comparison at a known constant)."""
+    int to pin it (e.g. for a twin comparison at a known constant).
+    ``nprobe`` defaults to ``"auto"`` = ``auto_nprobe(n_cells)`` so the
+    recall knob scales WITH the cell count (a fixed nprobe silently
+    loses recall as auto-cells grows — measured in
+    BENCH/recall_grid.json; rule + cost tradeoff on ``auto_nprobe``)."""
     if n_cells == "auto":
         n_cells = auto_cells(embeddings.count())
+    if nprobe == "auto":
+        nprobe = auto_nprobe(n_cells)
     base = quantized(embeddings)
     trained = ivf_train(embeddings, k=n_cells, iters=iters)
     cents_d = trained.select("cell", "dim", F.col("centroid_sum").alias("s"))
@@ -662,15 +695,29 @@ def cosine_neardup_ivf(
     return _verify_cosine_pairs(cand, embeddings, threshold)
 
 
+def _nprobe_pred(n_cells: int | str, nprobe: int | str) -> str:
+    """The SQL term for the probe cutoff: a literal when pinned, the
+    params-CTE scalar when both knobs are auto (same coupling rule as
+    ``auto_nprobe``), and the Python-computed coupling when cells are
+    pinned but nprobe is auto."""
+    if nprobe != "auto":
+        return str(int(nprobe))
+    if n_cells == "auto":
+        return "(SELECT nprobe FROM params)"
+    return str(auto_nprobe(int(n_cells)))
+
+
 def cosine_neardup_ivf_sql(
     threshold: float = 0.35, n_cells: int | str = "auto",
-    iters: int = 2, nprobe: int = 2,
+    iters: int = 2, nprobe: int | str = "auto",
 ) -> str:
     """DuckDB twin of ``cosine_neardup_ivf``: training CTEs + nprobe cell
     blocking + exact verify. ``n_cells="auto"`` (default, matching the
     Spark side) derives the cell count inside the SQL via the params CTE
-    — see ``_auto_cells_sql``."""
+    — see ``_auto_cells_sql``; ``nprobe="auto"`` couples to it
+    (``auto_nprobe`` / the params CTE's nprobe column)."""
     t2 = float(int(round(threshold * threshold * 1_000_000)))
+    nprobe = _nprobe_pred(n_cells, nprobe)
     return f"""
 WITH {_ivf_train_cte_body(n_cells, iters)},
 sfin AS (
@@ -729,7 +776,8 @@ def dedup_keep_representatives(documents: DataFrame) -> DataFrame:
 
 def semdedup(
     embeddings: DataFrame, threshold: float = 0.35,
-    n_cells: int | str = "auto", iters: int = 2, nprobe: int = 2,
+    n_cells: int | str = "auto", iters: int = 2,
+    nprobe: int | str = "auto",
 ) -> DataFrame:
     """SemDedup (Abbas et al. 2023, arXiv:2303.09540): deduplicate in
     EMBEDDING space — semantic duplicates whose text shares no shingle
@@ -771,7 +819,7 @@ def semdedup(
 
 def _semdedup_cte_body(
     threshold: float = 0.35, n_cells: int | str = "auto",
-    iters: int = 2, nprobe: int = 2,
+    iters: int = 2, nprobe: int | str = "auto",
 ) -> str:
     """The semdedup CTE chain (requires a ``WITH RECURSIVE`` prefix):
     cosine_neardup_ivf as a MATERIALIZED pairs CTE (it is referenced
@@ -803,7 +851,7 @@ sem_reps AS (
 
 def semdedup_sql(
     threshold: float = 0.35, n_cells: int | str = "auto",
-    iters: int = 2, nprobe: int = 2,
+    iters: int = 2, nprobe: int | str = "auto",
 ) -> str:
     """DuckDB twin of ``semdedup`` — see ``_semdedup_cte_body``."""
     body = _semdedup_cte_body(threshold, n_cells, iters, nprobe)
@@ -815,7 +863,8 @@ SELECT doc_id, n_members FROM sem_reps
 
 def training_corpus_v2(
     documents: DataFrame, embeddings: DataFrame, threshold: float = 0.35,
-    n_cells: int | str = "auto", iters: int = 2, nprobe: int = 2,
+    n_cells: int | str = "auto", iters: int = 2,
+    nprobe: int | str = "auto",
 ) -> DataFrame:
     """The modern LLM training-data pipeline composed end to end, every
     stage individually hash-green: Gopher quality gate (map-only) →
@@ -846,7 +895,7 @@ def training_corpus_v2(
 
 def training_corpus_v2_sql(
     threshold: float = 0.35, n_cells: int | str = "auto", iters: int = 2,
-    nprobe: int = 2, source_cte: str | None = None,
+    nprobe: int | str = "auto", source_cte: str | None = None,
 ) -> str:
     """DuckDB twin of ``training_corpus_v2``. ``source_cte`` optionally
     replaces the documents source (e.g. the PII-injected corpus the
@@ -885,8 +934,8 @@ FROM keep k JOIN sem s ON s.doc_id = k.doc_id
 
 def training_corpus_v3(
     documents: DataFrame, embeddings: DataFrame, threshold: float = 0.35,
-    n_cells: int | str = "auto", iters: int = 2, nprobe: int = 2,
-    chunk_words: int = 64, overlap: int = 8,
+    n_cells: int | str = "auto", iters: int = 2,
+    nprobe: int | str = "auto", chunk_words: int = 64, overlap: int = 8,
 ) -> DataFrame:
     """The round-3 capstone composition — every stage of a modern
     LLM training-data pipeline, each individually hash-green, chained:
@@ -930,7 +979,7 @@ def training_corpus_v3(
 
 def training_corpus_v3_sql(
     threshold: float = 0.35, n_cells: int | str = "auto", iters: int = 2,
-    nprobe: int = 2, chunk_words: int = 64, overlap: int = 8,
+    nprobe: int | str = "auto", chunk_words: int = 64, overlap: int = 8,
     source_cte: str | None = None,
 ) -> str:
     """DuckDB twin of ``training_corpus_v3``: stage twins embedded as
@@ -986,7 +1035,7 @@ FROM chunks3 c JOIN kept3 k USING (doc_id)
 def training_corpus_v4(
     documents: DataFrame, embeddings: DataFrame, doc_sources: DataFrame,
     threshold: float = 0.35, n_cells: int | str = "auto", iters: int = 2,
-    nprobe: int = 2, seg_words: int = 32, rate: float = 0.5,
+    nprobe: int | str = "auto", seg_words: int = 32, rate: float = 0.5,
     salt: str = "mix", seq_len: int = 256,
 ) -> DataFrame:
     """The round-4 capstone — v3's gate/scrub/dedup chain extended with
@@ -1049,7 +1098,7 @@ def training_corpus_v4(
 
 def training_corpus_v4_sql(
     threshold: float = 0.35, n_cells: int | str = "auto", iters: int = 2,
-    nprobe: int = 2, seg_words: int = 32, rate: float = 0.5,
+    nprobe: int | str = "auto", seg_words: int = 32, rate: float = 0.5,
     salt: str = "mix", seq_len: int = 256, source_cte: str | None = None,
 ) -> str:
     """DuckDB twin of ``training_corpus_v4`` — stage twins embedded as

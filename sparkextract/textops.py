@@ -1115,6 +1115,15 @@ def mixture_sample(
     expectation (binomial concentration; a rank-exact quota would cost a
     per-source sort — the documented trade).
 
+    Boundary semantics (pinned by tests): ``rate=0.0`` keeps nothing;
+    ``rate=1.0`` is NOT the identity — the √-reweighting still moves
+    mass from large sources toward small ones, so large sources are
+    thinned below their count even when the total target equals the
+    corpus size (small sources saturate at q ≥ c and keep everything;
+    the corpus as a whole shrinks). Resampling-with-replacement to hit
+    the target exactly is a different operator by design — this one
+    never duplicates a document.
+
     Output: doc_id, source. Plan at 100 TB: one combinable count agg
     (|sources| rows), quota table broadcast back, then a MAP-ONLY
     md5-prefix filter that fuses into the scan — no window, no skew,

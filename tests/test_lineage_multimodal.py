@@ -652,6 +652,72 @@ def test_partition_evolution_across_snapshots(spark, tmp_path):
     assert keyed(read_changes(spark, out, None)) == {**wantA, **wantB}
 
 
+def test_schema_evolution_across_snapshots(spark, tmp_path):
+    """Add-column SCHEMA evolution across snapshots (round-5 VERDICT
+    item 7): snapshot A is written with the base extract schema, snapshot
+    B with a transform that ADDS a column. Pinned reads serve each
+    snapshot's OWN schema (Iceberg time travel reads with the snapshot's
+    schema-id); the incremental read spanning the boundary merges — A's
+    rows read NULL for the added column, B's carry values."""
+    from pyspark.sql import functions as F
+
+    from sparkextract.lineage import read_changes, read_snapshot
+
+    out = str(tmp_path / "out")
+    pdfA = synth.gen_transcripts(n_convs=6, seed=63)
+    run_with_lineage(
+        spark, spark.createDataFrame(pdfA, schema=schema.TRANSCRIPTS),
+        out, snapshot="snapA", buckets=4,
+    )
+
+    def evolved(df, **kw):
+        return extract(df, **kw).withColumn("n_chars", F.length("main_text"))
+
+    pdfB = synth.gen_transcripts(n_convs=5, seed=64)
+    pdfB["conv_id"] = pdfB["conv_id"].str.replace("conv-", "convB-", regex=False)
+    run_with_lineage(
+        spark, spark.createDataFrame(pdfB, schema=schema.TRANSCRIPTS),
+        out, snapshot="snapB", buckets=4, transform=evolved,
+    )
+
+    # pinned read of A: the snapshot's OWN (pre-evolution) schema
+    pinA = read_snapshot(spark, out, "snapA")
+    assert "n_chars" not in pinA.columns
+    # pinned read of B: evolved schema with real values
+    pinB = read_snapshot(spark, out, "snapB")
+    assert "n_chars" in pinB.columns
+    for r in pinB.select("main_text", "n_chars").collect():
+        assert r.n_chars == len(r.main_text)
+
+    def keyed(df):
+        return {
+            (r.conv_id, r.turn_idx): r.main_text
+            for r in df.select("conv_id", "turn_idx", "main_text").collect()
+        }
+
+    wantA = keyed(extract(spark.createDataFrame(pdfA, schema=schema.TRANSCRIPTS)))
+    wantB = keyed(extract(spark.createDataFrame(pdfB, schema=schema.TRANSCRIPTS)))
+    assert keyed(pinA) == wantA
+    assert keyed(pinB) == wantB
+
+    # incremental range ending at B carries the new column
+    delta = read_changes(spark, out, "snapA", "snapB")
+    assert "n_chars" in delta.columns and keyed(delta) == wantB
+
+    # full incremental read spans the boundary: merged schema, A rows NULL
+    full = read_changes(spark, out, None)
+    assert "n_chars" in full.columns
+    assert keyed(full) == {**wantA, **wantB}
+    nulls = {
+        r.conv_id
+        for r in full.where(F.col("n_chars").isNull())
+        .select("conv_id").distinct().collect()
+    }
+    assert nulls == {c for c, _ in wantA}
+    for r in full.where(F.col("n_chars").isNotNull()).collect():
+        assert r.n_chars == len(r.main_text)
+
+
 def test_incremental_strict_detects_conv_overlap(spark, tmp_path):
     """strict=True must refuse a non-conv-aligned append (turns added to
     an already-extracted conversation) and accept a conv-aligned one."""

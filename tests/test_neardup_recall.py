@@ -27,18 +27,30 @@ def test_recall_bounds_and_monotone(recall):
 
 
 def test_default_nprobe_not_degenerate(recall):
-    # the semdedup default (nprobe=2) must recover a majority of true
-    # pairs on this corpus; a collapse here means the probe ranking or
-    # the candidate join broke
+    # a collapse at nprobe=2 on the 8-cell grid means the probe ranking
+    # or the candidate join broke (the production default is higher)
     assert recall[2] >= 0.5, recall
 
 
-def test_auto_cells_default_keeps_majority_recall(spark):
-    """The round-4 production default (n_cells='auto') trades candidate
-    volume for recall (measured at n=500: nprobe=2 recall 0.76 @ 8 cells
-    -> 0.61 @ auto=16). The guard: the DEFAULT (auto cells, nprobe=2)
-    must still recover a majority of true above-threshold pairs."""
+def test_auto_default_recall_at_least_075(spark):
+    """Round-5 VERDICT item 3: the EXPOSED production default (auto
+    cells AND the coupled auto nprobe = max(4, cells//4)) must recover
+    >= 0.75 of true above-threshold pairs. Measured across the
+    (cells, nprobe) grid in BENCH/recall_grid.json: the coupled rule
+    holds 0.9668 @ (16, 4) sf0.01 and 0.9978 @ (32, 8) sf0.1, vs the
+    old fixed nprobe=2's 0.64/0.44 decay."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     auto = simsearch.auto_cells(emb.count())
-    r = simsearch.neardup_pair_recall(emb, n_cells=auto, nprobe_grid=(2,))
-    assert r[2] >= 0.5, (auto, r)
+    p = simsearch.auto_nprobe(auto)
+    r = simsearch.neardup_pair_recall(emb, n_cells=auto, nprobe_grid=(p,))
+    assert r[p] >= 0.75, (auto, p, r)
+
+
+def test_auto_nprobe_rule_matches_sql_twin():
+    """auto_nprobe must stay EXACTLY the params CTE's GREATEST(4,
+    cells // 4) for every power-of-two cell count the auto rule can
+    emit."""
+    cells = 8
+    while cells <= (1 << 30):
+        assert simsearch.auto_nprobe(cells) == max(4, cells // 4)
+        cells *= 2

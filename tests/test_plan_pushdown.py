@@ -92,3 +92,21 @@ def test_read_changes_prunes_partitions(spark, tmp_path):
     assert "snapshot" in pf_line and "bucket" in pf_line, pf_line
     # the predicate names only the CHANGED snapshot
     assert "snap1" in pf_line, pf_line
+
+
+def test_staged_tail_fused(spark):
+    """Round-5 tail fuse (VERDICT item 5): the staged pipeline's
+    A3 (page agg) → A4 (turn agg) → O8 (turn_seq window) tail must run
+    on ONE conv_id exchange — hash partitioning on a subset of every
+    grouping/window key set satisfies all three ClusteredDistributions,
+    so the planner emits zero further exchanges above the Union (was
+    three: one per stage)."""
+    from sparkextract import schema, synth
+    from sparkextract.pipeline import extract
+
+    pdf = synth.gen_transcripts(n_convs=6, seed=9)
+    sdf = spark.createDataFrame(pdf, schema=schema.TRANSCRIPTS)
+    plan = extract(sdf)._jdf.queryExecution().executedPlan().toString()
+    head, _, _ = plan.partition("Union")
+    assert "Window" in head and head.count("Exchange") == 1, head
+    assert "REPARTITION_BY_COL" in head, head

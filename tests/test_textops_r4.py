@@ -138,6 +138,40 @@ def test_mixture_sample_upweights_small_source(spark):
     assert set(d for d, _ in out1) <= set(r[0] for r in rows)
 
 
+def test_mixture_rate_boundaries(spark):
+    """Round-5 boundary pins: rate=0.0 keeps nothing; rate=1.0 is NOT
+    the identity — √-reweighting still thins the large source below its
+    count (its quota q = n_total·w_big÷Σw < c_big) while the small
+    source saturates (q ≥ c → keep all). See mixture_sample docstring."""
+    rows = [(i, f"doc {i}", "big") for i in range(64)]
+    rows += [(1000 + i, f"rare {i}", "small") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    assert textops.mixture_sample(df, rate=0.0).count() == 0
+    kept = [(r.doc_id, r.source) for r in textops.mixture_sample(df, rate=1.0).collect()]
+    assert len([d for d, s in kept if s == "small"]) == 4  # q=13 >= 4
+    big = [d for d, s in kept if s == "big"]
+    # q_big = (68*800)//1000 = 54 < 64: thinned even at rate=1.0
+    assert 0 < len(big) < 64
+
+
+def test_segment_dedup_boundaries(spark):
+    """Round-5 boundary pins: an all-identical corpus collapses to the
+    min doc_id with its full text; docs shorter than seg_words are
+    single-segment (n_total=1) and dedup as whole docs."""
+    base = " ".join(f"w{i}" for i in range(64))
+    rows = [(i, base, "a") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in textops.segment_dedup(df).collect()}
+    assert set(got) == {0}
+    assert got[0].dedup_text == base and got[0].n_kept == got[0].n_total == 2
+
+    rows2 = [(0, "tiny doc", "a"), (1, "tiny doc", "a"), (2, "other one", "a")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string, source string")
+    got2 = {r.doc_id: (r.dedup_text, r.n_kept, r.n_total)
+            for r in textops.segment_dedup(df2).collect()}
+    assert got2 == {0: ("tiny doc", 1, 1), 2: ("other one", 1, 1)}
+
+
 def test_pack_sequences_conservation(spark, docs):
     """Packing moves every word exactly once: per-source word/doc totals
     match the input; bins are non-negative."""
