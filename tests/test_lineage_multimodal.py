@@ -717,6 +717,17 @@ def test_schema_evolution_across_snapshots(spark, tmp_path):
     for r in full.where(F.col("n_chars").isNotNull()).collect():
         assert r.n_chars == len(r.main_text)
 
+    # retention composes with evolution: expiring the pre-evolution
+    # snapshot leaves the evolved one fully readable (own schema), and
+    # the full incremental read now covers only B
+    from sparkextract.lineage import expire_snapshots
+
+    gc = expire_snapshots(spark, out, keep_last=1)
+    assert gc["expired"] == ["snapA"] and gc["kept"] == ["snapB"]
+    still = read_snapshot(spark, out, "snapB")
+    assert "n_chars" in still.columns and keyed(still) == wantB
+    assert keyed(read_changes(spark, out, None)) == wantB
+
 
 def test_incremental_strict_detects_conv_overlap(spark, tmp_path):
     """strict=True must refuse a non-conv-aligned append (turns added to
