@@ -729,6 +729,122 @@ def test_schema_evolution_across_snapshots(spark, tmp_path):
     assert keyed(read_changes(spark, out, None)) == wantB
 
 
+def test_compaction_rewrite_data_files(spark, tmp_path):
+    """Bin-pack compaction (Iceberg rewrite_data_files analog): rewriting
+    a snapshot's many small files into one per bucket must be INVISIBLE
+    to every reader — pinned reads, incremental reads, the snapshot log
+    and the logical snapshot ids are byte-identical before and after.
+    Also covers: chained re-compaction (.c2), compaction of a
+    schema-evolved snapshot (keeps its own schema), the crash window
+    (data written, commit record missing → readers untouched, orphan
+    reclaimed), remove_orphan_files, and expiry taking every physical
+    generation of an expired logical id."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkextract.lineage import (
+        compact_snapshot,
+        expire_snapshots,
+        read_changes,
+        read_snapshot,
+        remove_orphan_files,
+        snapshot_log,
+    )
+
+    out = str(tmp_path / "out")
+
+    # fan the output over 6 tasks so every bucket dir gets several small
+    # files — the state compaction exists to fix
+    def fanout(df, **kw):
+        return extract(df, **kw).repartition(6)
+
+    def fanout_evolved(df, **kw):
+        return (
+            extract(df, **kw)
+            .withColumn("n_chars", F.length("main_text"))
+            .repartition(6)
+        )
+
+    pdfA = synth.gen_transcripts(n_convs=6, seed=71)
+    run_with_lineage(
+        spark, spark.createDataFrame(pdfA, schema=schema.TRANSCRIPTS),
+        out, snapshot="snapA", buckets=4, transform=fanout,
+    )
+    pdfB = synth.gen_transcripts(n_convs=5, seed=72)
+    pdfB["conv_id"] = pdfB["conv_id"].str.replace("conv-", "convB-", regex=False)
+    run_with_lineage(
+        spark, spark.createDataFrame(pdfB, schema=schema.TRANSCRIPTS),
+        out, snapshot="snapB", buckets=4, transform=fanout_evolved,
+    )
+
+    def keyed(df):
+        return {
+            (r.conv_id, r.turn_idx): r.main_text
+            for r in df.select("conv_id", "turn_idx", "main_text").collect()
+        }
+
+    wantA = keyed(read_snapshot(spark, out, "snapA"))
+    wantB = keyed(read_snapshot(spark, out, "snapB"))
+    log_before = [
+        (r.snapshot, r.n_buckets, r.rows_out)
+        for r in snapshot_log(spark, out).collect()
+    ]
+
+    # --- compact the latest (snapB) ---
+    res = compact_snapshot(spark, out)
+    assert res["snapshot"] == "snapB" and res["physical"] == "snapB.c1"
+    assert res["files_before"] > res["files_after"] == res["buckets"]
+    pinB = read_snapshot(spark, out, "snapB")
+    assert keyed(pinB) == wantB
+    # logical id on the wire, never the physical ".c1" name; own schema kept
+    assert {r.snapshot for r in pinB.select("snapshot").distinct().collect()} \
+        == {"snapB"}
+    assert "n_chars" in pinB.columns
+    for r in pinB.select("main_text", "n_chars").collect():
+        assert r.n_chars == len(r.main_text)
+    assert keyed(read_snapshot(spark, out, "snapA")) == wantA
+    full = read_changes(spark, out, None)
+    assert keyed(full) == {**wantA, **wantB}
+    assert {r.snapshot for r in full.select("snapshot").distinct().collect()} \
+        == {"snapA", "snapB"}
+    assert keyed(read_changes(spark, out, "snapA", "snapB")) == wantB
+    # manifest untouched: the snapshot log is identical
+    assert [
+        (r.snapshot, r.n_buckets, r.rows_out)
+        for r in snapshot_log(spark, out).collect()
+    ] == log_before
+
+    # --- chained re-compaction and compaction of the older snapshot ---
+    assert compact_snapshot(spark, out, "snapB")["physical"] == "snapB.c2"
+    assert keyed(read_snapshot(spark, out, "snapB")) == wantB
+    assert compact_snapshot(spark, out, "snapA")["physical"] == "snapA.c1"
+    assert keyed(read_snapshot(spark, out, "snapA")) == wantA
+
+    # --- crash window: data dir written, _replaces append never happened;
+    # readers must not see it, orphan cleanup must reclaim it ---
+    orphan = os.path.join(out, "data", "snapshot=snapA.c9")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert keyed(read_snapshot(spark, out, "snapA")) == wantA
+
+    gc = remove_orphan_files(spark, out)
+    assert sorted(gc["removed"]) == ["snapA", "snapA.c9", "snapB", "snapB.c1"]
+    assert sorted(gc["kept"]) == ["snapA.c1", "snapB.c2"]
+    assert keyed(read_snapshot(spark, out, "snapA")) == wantA
+    assert keyed(read_changes(spark, out, None)) == {**wantA, **wantB}
+
+    # --- expiry removes every physical generation of the expired id ---
+    exp = expire_snapshots(spark, out, keep_last=1)
+    assert exp["expired"] == ["snapA"] and exp["kept"] == ["snapB"]
+    assert not os.path.exists(os.path.join(out, "data", "snapshot=snapA.c1"))
+    with pytest.raises(ValueError):
+        read_snapshot(spark, out, "snapA")
+    assert keyed(read_snapshot(spark, out)) == wantB
+    assert keyed(read_changes(spark, out, None)) == wantB
+
+
 def test_incremental_strict_detects_conv_overlap(spark, tmp_path):
     """strict=True must refuse a non-conv-aligned append (turns added to
     an already-extracted conversation) and accept a conv-aligned one."""
