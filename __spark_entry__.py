@@ -318,6 +318,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": lambda s, d: textops.pack_sequences(
             _t(s, d, "documents")
         ),
+        # round-5: DSIR importance-resampling selection (Xie+23) — hashed
+        # n-gram importance vs the src0 target slice, exact-int ilog2
+        # scoring, deterministic top-25% (noise-free Gumbel limit)
+        "dsir_select": lambda s, d: textops.dsir_select(
+            _t(s, d, "documents"),
+            _t(s, d, "documents").where("source = 'src0'"),
+        ),
+        # round-5: content-keyed train/val split — byte-identical texts
+        # can never straddle the split (Lee+22 eval-leakage); map-only
+        "leakage_safe_split": lambda s, d: textops.leakage_safe_split(
+            _t(s, d, "documents")
+        ),
         # banded-Hamming SimHash near-dup (4x4-bit bands, verify <= 3)
         "simhash_neardup": lambda s, d: textops.simhash_neardup(
             _t(s, d, "documents")
@@ -446,6 +458,8 @@ _PINNED = [
     "training_corpus_v4", "pipeline_dedup_extract",
     "cosine_neardup_ivf", "dedup_against", "mixture_sample",
     "segment_dedup", "pack_sequences",
+    # new in round 5 — pinned this round per the rotation rule
+    "dsir_select", "leakage_safe_split",
 ]
 
 _ROTATING = [
@@ -944,6 +958,8 @@ FROM inj
         "segment_dedup": textops.segment_dedup_sql(),
         "mixture_sample": textops.mixture_sample_sql(),
         "pack_sequences": textops.pack_sequences_sql(),
+        "dsir_select": textops.dsir_select_sql(),
+        "leakage_safe_split": textops.leakage_safe_split_sql(),
         "bigram_lm_score": textops.bigram_lm_score_sql(),
         "tfidf_topk": textops.tfidf_topk_sql(),
         "quality_classifier": textops.quality_classifier_sql(),

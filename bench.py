@@ -177,6 +177,13 @@ def run(spark) -> dict:
     bench("mixture_sample", lambda: textops.mixture_sample(big_src))
     bench("pack_sequences", lambda: textops.pack_sequences(big_src))
     bench(
+        "dsir_select",
+        lambda: textops.dsir_select(
+            big_src, big_src.where("source = 'src0'")
+        ),
+    )
+    bench("leakage_safe_split", lambda: textops.leakage_safe_split(big_src))
+    bench(
         "training_corpus_v4",
         lambda: simsearch.training_corpus_v4(docs, t("embeddings"), docs),
     )

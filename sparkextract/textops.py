@@ -1264,3 +1264,240 @@ SELECT source, seq_bin,
 FROM a
 GROUP BY source, seq_bin
 """
+
+
+def dsir_select(
+    documents: DataFrame, target: DataFrame, rate: float = 0.25
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much more likely
+    its hashed-n-gram bag is under the TARGET domain's feature
+    distribution than under the raw corpus's own, then keep the top
+    ``floor(rate · n)``. Features are the same 256-bucket hashed word
+    unigram+bigram space as ``quality_classifier`` (bucket key IS
+    substr(md5(gram),1,2) — engine-portable hex, never parsed ints);
+    both distributions are add-1 smoothed.
+
+    The log importance weight is computed in EXACT integer arithmetic
+    with the same ilog2 n = len(bin(n)) - 1 device as
+    ``bigram_lm_score`` (float log() can't be oracled hash-exact):
+
+        score(doc) = Σ_g [ilog2(c_tgt(f_g)+1) - ilog2(c_raw(f_g)+1)]
+                     + n_feats · [ilog2(R+256) - ilog2(T+256)]
+
+    where c_* are corpus-wide feature counts and R/T the total feature
+    masses (the second term is the smoothed denominators, which scale
+    with n_feats and so cannot be dropped from a ranking). Selection is
+    the DETERMINISTIC top-k by (score DESC, doc_id) — the paper's
+    Gumbel-noise resampling replaced by its noise-free limit so the
+    selected set is reproducible across runs, partitionings, and
+    engines.
+
+    Scale shape: two gram explodes feed two COMBINABLE 256-row count
+    aggs; the per-feat delta table (≤ 256 rows) broadcast-joins onto the
+    raw gram stream; one combinable groupBy(doc_id). The only
+    non-combinable step is the exact global rank (one single-partition
+    window over ≤ n docs of (id, score) pairs — column-pruned, NOT the
+    corpus). At 100 TB swap the exact rank for a score threshold from a
+    quantile sketch (``sketches``/``length_quantiles`` pattern) and the
+    plan becomes fully map-side — the documented trade, same as
+    ``mixture_sample``'s expectation-exact quota.
+
+    Only docs with ≥ 1 word appear (no features → no evidence, same
+    contract as ``bigram_lm_score``). ``rate`` multiplies as an IEEE
+    DOUBLE (twins must cast — see ``mixture_sample``).
+    Output: doc_id, n_feats, dsir_score, selected.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    def feats_of(df):
+        wcol = F.col("w")
+        bigrams = F.when(
+            F.size(wcol) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(wcol) - 2),
+                lambda i: F.concat_ws(" ", wcol[i], wcol[i + 1]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            df.select(
+                "doc_id",
+                F.filter(F.split("text", " "), lambda x: x != "").alias("w"),
+            )
+            .select("doc_id", F.explode(F.concat(wcol, bigrams)).alias("gram"))
+            .select("doc_id", F.substring(F.md5("gram"), 1, 2).alias("feat"))
+        )
+
+    def ilog2(c):
+        return F.length(F.conv(c.cast("string"), 10, 2)) - 1
+
+    raw_feats = feats_of(documents)
+    tgt_feats = feats_of(target)
+    cr = raw_feats.groupBy("feat").agg(F.count(F.lit(1)).alias("cr"))
+    ct = tgt_feats.groupBy("feat").agg(F.count(F.lit(1)).alias("ct"))
+    # LEFT join, not full-outer: every feat being scored comes from the
+    # raw stream so it exists in cr; target-only feats can never match.
+    # (Full-outer would force a sort-merge — outer joins can't broadcast.)
+    delta = (
+        cr.join(broadcast(ct), "feat", "left")
+        .select(
+            "feat",
+            (
+                ilog2(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                - ilog2(F.col("cr") + 1)
+            ).alias("d"),
+        )
+    )
+    tot = cr.agg(F.sum("cr").alias("r_tot")).crossJoin(
+        ct.agg(F.sum("ct").alias("t_tot"))
+    )
+    scored = (
+        raw_feats.join(broadcast(delta), "feat")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("d").cast("bigint").alias("sd"),
+        )
+        .crossJoin(broadcast(tot))
+        .select(
+            "doc_id",
+            "n_feats",
+            (
+                F.col("sd")
+                + F.col("n_feats")
+                * (ilog2(F.col("r_tot") + 256) - ilog2(F.col("t_tot") + 256))
+            ).cast("bigint").alias("dsir_score"),
+        )
+    )
+    w = Window.orderBy(F.col("dsir_score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy()))
+        .select(
+            "doc_id", "n_feats", "dsir_score",
+            (
+                F.col("rn")
+                <= F.floor(F.col("cnt") * F.lit(rate)).cast("bigint")
+            ).alias("selected"),
+        )
+    )
+
+
+def dsir_select_sql(
+    rate: float = 0.25,
+    source_sql: str = "documents",
+    target_sql: str = "(SELECT * FROM documents WHERE source = 'src0')",
+) -> str:
+    """DuckDB twin of ``dsir_select`` (identical ilog2 integer scoring;
+    rate cast to DOUBLE so floor(n·rate) matches Spark's IEEE product)."""
+    return f"""
+WITH wd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM {source_sql}
+),
+twd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM {target_sql}
+),
+feats AS (
+  SELECT doc_id, substr(md5(gram), 1, 2) AS feat FROM (
+    SELECT doc_id, unnest(w) AS gram FROM wd
+    UNION ALL
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]))
+      FROM wd WHERE len(w) >= 2
+  )
+),
+tfeats AS (
+  SELECT doc_id, substr(md5(gram), 1, 2) AS feat FROM (
+    SELECT doc_id, unnest(w) AS gram FROM twd
+    UNION ALL
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]))
+      FROM twd WHERE len(w) >= 2
+  )
+),
+cr AS (SELECT feat, COUNT(*) AS cr FROM feats GROUP BY feat),
+ct AS (SELECT feat, COUNT(*) AS ct FROM tfeats GROUP BY feat),
+delta AS (
+  SELECT cr.feat,
+         (length(bin(COALESCE(ct.ct, 0) + 1)) - 1)
+         - (length(bin(cr.cr + 1)) - 1) AS d
+  FROM cr LEFT JOIN ct ON cr.feat = ct.feat
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM feats) AS r_tot,
+         (SELECT COUNT(*) FROM tfeats) AS t_tot
+),
+scored AS (
+  SELECT f.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(d.d) + COUNT(*) * ((length(bin(t.r_tot + 256)) - 1)
+                                     - (length(bin(t.t_tot + 256)) - 1))
+              AS BIGINT) AS dsir_score
+  FROM feats f JOIN delta d USING (feat), tot t
+  GROUP BY f.doc_id, t.r_tot, t.t_tot
+)
+SELECT doc_id, n_feats, dsir_score,
+       ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id)
+         <= CAST(floor(COUNT(*) OVER () * CAST({rate!r} AS DOUBLE)) AS BIGINT)
+         AS selected
+FROM scored
+"""
+
+
+def leakage_safe_split(
+    documents: DataFrame, val_frac: float = 0.1, salt: str = "split"
+) -> DataFrame:
+    """Deterministic train/val split keyed on CONTENT, not doc_id:
+    byte-identical texts always land on the same side, so a duplicate
+    cannot sit in train while its twin sits in val (the eval-leakage
+    failure mode Lee et al. 2022, arXiv:2107.06499 §6 measure — dedup's
+    sibling problem). The split bit is the ``sketches.hash_sample``
+    md5-prefix rule over md5(text): val iff the 4-hex prefix of
+    md5(salt:content_key) sorts below printf('%04x', floor(65536·f)) —
+    reproducible across runs, partitionings, and engines, val mass ≈ f
+    in expectation. ``val_frac`` multiplies as an IEEE DOUBLE (twins
+    cast, same rule as ``mixture_sample``). ``val_frac=1.0`` saturates
+    via an explicit clause — printf('%04x', 65536) is the FIVE-char
+    '10000', which string-compares BELOW most 4-hex prefixes, so the
+    threshold form alone would silently keep only ~1/16 (the same
+    saturation guard ``mixture_sample`` carries as ``q >= c``).
+
+    For NEAR-duplicate safety compose upstream: map each doc to its
+    cluster representative (``simsearch.neardup_clusters``) and pass the
+    rep's text as the content key. Plan at 100 TB: MAP-ONLY — two md5s
+    and a compare fused into the scan; zero exchanges, zero skew.
+    Output: doc_id, source, split ('train' | 'val').
+    """
+    if not 0.0 <= val_frac <= 1.0:
+        raise ValueError("val_frac must be in [0, 1]")
+    pref = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.md5(F.col("text")))), 1, 4
+    )
+    thresh = F.format_string(
+        "%04x", F.floor(F.lit(65536) * F.lit(val_frac)).cast("bigint")
+    )
+    return documents.select(
+        "doc_id", "source",
+        F.when(
+            (F.lit(val_frac) >= 1.0) | (pref < thresh), F.lit("val")
+        ).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def leakage_safe_split_sql(
+    val_frac: float = 0.1, salt: str = "split", source_sql: str = "documents"
+) -> str:
+    """DuckDB twin of ``leakage_safe_split`` (identical md5-prefix rule)."""
+    return f"""
+SELECT doc_id, source,
+       CASE WHEN CAST({val_frac!r} AS DOUBLE) >= 1.0
+              OR substr(md5('{salt}:' || md5(text)), 1, 4)
+                 < printf('%04x', CAST(floor(65536 * CAST({val_frac!r} AS DOUBLE)) AS BIGINT))
+            THEN 'val' ELSE 'train' END AS split
+FROM {source_sql}
+"""
