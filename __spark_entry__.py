@@ -254,6 +254,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "baseline_ann_cosine_topk": lambda s, d: simsearch.baseline_ann_topk(
             _t(s, d, "embeddings")
         ),
+        # round-5: greedy k-center diversity selection (Gonzalez 85 /
+        # Sener&Savarese 18 coresets) — exact-int max-min L2, one narrow
+        # pass + TakeOrdered(1) per round; semdedup's diversity complement
+        "kcenter_select": lambda s, d: simsearch.kcenter_select(
+            _t(s, d, "embeddings")
+        ),
         # --- crawl-style URL ops (synthetic URLs per doc: five surface
         # variants per canonical form, so every normalization rule is
         # load-bearing — 500 raw urls collapse to 280 canonical) ---
@@ -330,6 +336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": lambda s, d: textops.leakage_safe_split(
             _t(s, d, "documents")
         ),
+        # round-5: BM25 ranked retrieval (Robertson&Zaragoza 09) — the
+        # lexical counterpart of the ANN stack, fixed-point integer
+        # scoring (22·idf·tf·W·10^6 div cleared-denominator), ilog2 idf
+        "bm25_topk": lambda s, d: textops.bm25_topk(_t(s, d, "documents")),
         # banded-Hamming SimHash near-dup (4x4-bit bands, verify <= 3)
         "simhash_neardup": lambda s, d: textops.simhash_neardup(
             _t(s, d, "documents")
@@ -459,7 +469,7 @@ _PINNED = [
     "cosine_neardup_ivf", "dedup_against", "mixture_sample",
     "segment_dedup", "pack_sequences",
     # new in round 5 — pinned this round per the rotation rule
-    "dsir_select", "leakage_safe_split",
+    "dsir_select", "leakage_safe_split", "bm25_topk", "kcenter_select",
 ]
 
 _ROTATING = [
@@ -960,6 +970,8 @@ FROM inj
         "pack_sequences": textops.pack_sequences_sql(),
         "dsir_select": textops.dsir_select_sql(),
         "leakage_safe_split": textops.leakage_safe_split_sql(),
+        "bm25_topk": textops.bm25_topk_sql(),
+        "kcenter_select": simsearch.kcenter_select_sql(),
         "bigram_lm_score": textops.bigram_lm_score_sql(),
         "tfidf_topk": textops.tfidf_topk_sql(),
         "quality_classifier": textops.quality_classifier_sql(),

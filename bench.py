@@ -183,6 +183,8 @@ def run(spark) -> dict:
         ),
     )
     bench("leakage_safe_split", lambda: textops.leakage_safe_split(big_src))
+    bench("bm25_topk", lambda: textops.bm25_topk(big_src))
+    bench("kcenter_select", lambda: simsearch.kcenter_select(t("embeddings")))
     bench(
         "training_corpus_v4",
         lambda: simsearch.training_corpus_v4(docs, t("embeddings"), docs),

@@ -1198,3 +1198,104 @@ def cosine_neardup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
         )
         .select("a_id", "b_id", "dot")
     )
+
+
+def kcenter_select(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """Greedy k-center diversity selection (Gonzalez 1985 2-approx;
+    the coreset-selection use is Sener & Savarese 2018,
+    arXiv:1708.00489): seed with the min vec_id, then k−1 times pick the
+    vector FARTHEST from every already-chosen center (max-min squared L2
+    on the quantized integer vectors — exact bigint, engine-portable;
+    ties break vec_id ASC). The classic "cover the embedding space"
+    data-selection rule — the diversity complement of ``semdedup``'s
+    redundancy removal.
+
+    Scale shape per round: ONE narrow pass updating the running
+    min-distance column against the single new center (checkpointed, so
+    round r does ONE distance computation, not r), then a combinable
+    TakeOrdered(1) argmax — no shuffle of the vectors, driver traffic =
+    one row per round. k rounds = k corpus passes, the standard
+    distributed trade for exact greedy k-center; k is small by
+    construction (it's a coverage budget, not a cluster count).
+
+    Output: sel_round (0-based), vec_id, radius — radius is the max-min
+    distance at selection time (the covering radius BEFORE that center
+    joins; NULL for the seed). radius is non-increasing in sel_round —
+    the stopping diagnostic (elbow = enough coverage).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql.types import (
+        LongType, IntegerType, StructField, StructType,
+    )
+
+    base = quantized(embeddings)
+    seed = base.orderBy(F.col("vec_id").asc()).first()
+    if seed is None:
+        raise ValueError("embeddings is empty")
+
+    def dist_to(vec):
+        c = F.array(*[F.lit(int(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with("q", c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    selected = [(0, int(seed.vec_id), None)]
+    cur = base.select("vec_id", "q", dist_to(seed.q).alias("mind"))
+    for r in range(1, k):
+        cur = cur.localCheckpoint(eager=True)
+        far = cur.orderBy(F.col("mind").desc(), F.col("vec_id").asc()).first()
+        selected.append((r, int(far.vec_id), int(far.mind)))
+        cur = cur.select(
+            "vec_id", "q", F.least("mind", dist_to(far.q)).alias("mind")
+        )
+    schema = StructType([
+        StructField("sel_round", IntegerType(), False),
+        StructField("vec_id", LongType(), False),
+        StructField("radius", LongType(), True),
+    ])
+    return embeddings.sparkSession.createDataFrame(selected, schema)
+
+
+def kcenter_select_sql(k: int = 8) -> str:
+    """DuckDB twin of ``kcenter_select``: the greedy rounds unrolled as a
+    CTE chain (the ``_ivf_train_cte_body`` idiom). Every m/c CTE is AS
+    MATERIALIZED — each is referenced by two downstream CTEs and DuckDB
+    inlines per reference (the e2e-twin lesson)."""
+    dist = (
+        "CAST(list_sum(list_transform(range(1, len(m.qv) + 1), "
+        "i -> (m.qv[i] - s.qv[i]) * (m.qv[i] - s.qv[i]))) AS BIGINT)"
+    )
+    parts = [
+        """q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+m0 AS MATERIALIZED (
+  SELECT m.vec_id, m.qv, """ + dist + """ AS mind
+  FROM q m, (SELECT qv FROM q WHERE vec_id = (SELECT MIN(vec_id) FROM q)) s
+)"""
+    ]
+    sel = ["SELECT CAST(0 AS INTEGER) AS sel_round, "
+           "(SELECT MIN(vec_id) FROM q) AS vec_id, CAST(NULL AS BIGINT) AS radius"]
+    for r in range(1, k):
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT vec_id, mind FROM m{r - 1} ORDER BY mind DESC, vec_id ASC LIMIT 1
+)"""
+        )
+        sel.append(
+            f"SELECT CAST({r} AS INTEGER), vec_id, CAST(mind AS BIGINT) FROM c{r}"
+        )
+        if r < k - 1:
+            parts.append(
+                f"""m{r} AS MATERIALIZED (
+  SELECT m.vec_id, m.qv, LEAST(m.mind, """ + dist + f""") AS mind
+  FROM m{r - 1} m, (SELECT qv FROM q JOIN c{r} USING (vec_id)) s
+)"""
+            )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)

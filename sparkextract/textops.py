@@ -1501,3 +1501,130 @@ SELECT doc_id, source,
             THEN 'val' ELSE 'train' END AS split
 FROM {source_sql}
 """
+
+
+def bm25_topk(
+    documents: DataFrame, query: str = "dup window merge", k: int = 10
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009, "The
+    Probabilistic Relevance Framework") over the documents table — the
+    LEXICAL counterpart of ``simsearch``'s ANN stack, in EXACT
+    fixed-point integer arithmetic so the ranking is engine- and
+    partition-stable. k1 = 6/5 and b = 3/4 are carried as exact
+    rationals; multiplying the per-term fraction through by 10·W (W =
+    corpus word count) clears every denominator:
+
+        s_term = (22 · idf · tf · W · 10^6) div (10·tf·W + 3·W + 9·dl·N)
+
+    where dl is the doc length, N the doc count, and idf the clamped
+    integer log — max(0, ilog2(2(N−df)+1) − ilog2(2df+1)) — the same
+    ilog2 n = len(bin(n))−1 device as ``bigram_lm_score`` and the same
+    ≥0 clamp Lucene applies. 1-bit idf granularity is the documented
+    quantization contract (transcendental log is not hash-oracleable);
+    tf and dl keep ranking fine-grained within an idf band. The div is
+    integer truncation — identical in both engines for the non-negative
+    operands the clamp guarantees.
+
+    Scale shape: tf is a combinable (doc, term) pre-agg over the words
+    stream FILTERED to the |query| literal terms (the filter lands in
+    the scan); dl is a combinable per-doc count; df/N/W are tiny
+    broadcast tables (df has |query| rows). The doc-keyed tf⋈dl join
+    shuffles only docs containing ≥1 query term. Exact top-k is the
+    ``dsir_select`` single-partition window over (doc_id, score) pairs
+    — same sketch-threshold swap documented there for 100 TB. BIGINT
+    overflow bound: 22·idf·tf·W·10^6 needs W ≲ 10^9 at idf,tf ≲ 64;
+    beyond that cast the numerator chain to DECIMAL(38,0) in BOTH
+    engines. Docs with no query term don't appear (no evidence — the
+    ``bigram_lm_score`` contract).
+    Output: doc_id, n_terms, score, rank.
+    """
+    terms = sorted({t for t in query.split(" ") if t})
+    if not terms:
+        raise ValueError("query must contain at least one term")
+
+    def ilog2(c):
+        return F.length(F.conv(c.cast("string"), 10, 2)) - 1
+
+    wtab = words(documents)
+    dl = wtab.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        wtab.where(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    tot = documents.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        wtab.agg(F.count(F.lit(1)).alias("w_tot"))
+    )
+    idf = F.greatest(
+        F.lit(0),
+        ilog2((F.col("n_docs") - F.col("df")) * 2 + 1)
+        - ilog2(F.col("df") * 2 + 1),
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (idf * F.col("tf") * F.col("w_tot") * 22000000).alias("num"),
+            (
+                F.col("tf") * F.col("w_tot") * 10
+                + F.col("w_tot") * 3
+                + F.col("dl") * F.col("n_docs") * 9
+            ).alias("den"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum(F.expr("num div den")).cast("bigint").alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "n_terms", "score", "rank")
+    )
+
+
+def bm25_topk_sql(
+    query: str = "dup window merge", k: int = 10,
+    source_sql: str = "documents",
+) -> str:
+    """DuckDB twin of ``bm25_topk`` (identical fixed-point arithmetic;
+    // is floor division ≡ Spark's div on the non-negative operands)."""
+    terms = sorted({t for t in query.split(" ") if t})
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM {source_sql}
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM w
+  WHERE word IN ({term_list}) GROUP BY doc_id, word
+),
+dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM {source_sql}) AS n_docs,
+         (SELECT COUNT(*) FROM w) AS w_tot
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(
+           (GREATEST(0, (length(bin((t.n_docs - dfq.df) * 2 + 1)) - 1)
+                        - (length(bin(dfq.df * 2 + 1)) - 1))
+            * tf.tf * t.w_tot * 22000000)
+           // (tf.tf * t.w_tot * 10 + t.w_tot * 3 + dl.dl * t.n_docs * 9)
+         ) AS BIGINT) AS score
+  FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id), tot t
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_terms, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {int(k)}
+"""
