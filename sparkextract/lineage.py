@@ -50,10 +50,18 @@ protocol is a real Iceberg-style commit, strictly safer than the
 directory swap ``expire_snapshots`` uses. Readers keep addressing the
 LOGICAL snapshot id; resolution to the current physical directory
 happens inside ``read_snapshot``/``read_changes``.
-What is NOT: no catalog, no
-manifest-file format, no sorted writes, no column renames/drops or
-type promotion (parquet schema merge cannot express those without the
-field-id indirection a real manifest provides), and the
+(g) FILE STATS + SCAN PRUNING — ``write_file_stats`` records per-file
+column min/max into a ``_stats`` manifest (Iceberg manifest-entry
+``lower_bounds``/``upper_bounds``; gathered from parquet FOOTERS on
+executors, a metadata-only pass) and ``read_snapshot_pruned`` plans a
+pinned read that opens ONLY files whose range overlaps the predicate —
+paired with ``run_with_lineage(sort_by=)`` sorted writes (range
+exchange on (bucket, key)), which is what makes the bounds selective.
+What is NOT: no catalog, no Avro manifest-file FORMAT (the ``_stats``/
+``_lineage``/``_replaces`` tables carry the same content as parquet),
+no column renames/drops or type promotion (parquet schema merge cannot
+express those without the field-id indirection a real manifest
+provides), and the
 manifest rewrite in ``expire_snapshots`` is a directory swap rather
 than an atomic catalog commit (a crash mid-swap needs the ``_tmp``
 directory recovered by hand — exactly the gap a real catalog closes).
@@ -81,6 +89,7 @@ LINEAGE_DIR = "_lineage"
 DATA_DIR = "data"
 INPUTS_DIR = "_inputs"
 REPLACES_DIR = "_replaces"
+STATS_DIR = "_stats"
 
 
 def _replace_map(spark: SparkSession, out_dir: str) -> dict[str, str]:
@@ -161,20 +170,13 @@ def snapshot_log(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
-def read_snapshot(
-    spark: SparkSession, out_dir: str, snapshot: str | None = None
-) -> DataFrame:
-    """Pinned snapshot read (Iceberg ``VERSION AS OF`` analog).
-
-    ``snapshot=None`` resolves the LATEST snapshot from the manifest
-    (max committed_at). Only buckets the manifest records as committed
-    for that snapshot are visible — a crash between data-write and
-    manifest-append stays invisible, the same read-committed contract the
-    resume path relies on. Only the pinned snapshot's ``data/snapshot=<id>``
-    directory is listed or read, so the result carries the SNAPSHOT'S OWN
-    schema: a column added by a later snapshot does not appear in an
-    older pinned read (Iceberg time travel reads with the snapshot's
-    recorded schema-id — here the data files themselves are the record)."""
+def _resolve_snapshot(
+    spark: SparkSession, out_dir: str, snapshot: str | None
+) -> tuple[str, str, list[int]]:
+    """(logical id, CURRENT physical dir name, committed buckets) — the
+    shared plan-time resolution for pinned and pruned reads. The logical
+    id resolves to its physical directory through ``_replace_map``
+    (identity unless compacted)."""
     lin = spark.read.parquet(os.path.join(out_dir, LINEAGE_DIR))
     if snapshot is None:
         latest = (
@@ -192,11 +194,26 @@ def read_snapshot(
     ]
     if not committed:
         raise ValueError(f"read_snapshot: unknown snapshot {snapshot!r} in {out_dir}")
-    data_path = os.path.join(out_dir, DATA_DIR)
-    # resolve the logical id to its current physical directory (identity
-    # unless compacted); the snapshot column is rewritten back to the
-    # logical id so compaction is invisible to readers
     phys = _replace_map(spark, out_dir).get(snapshot, snapshot)
+    return snapshot, phys, committed
+
+
+def read_snapshot(
+    spark: SparkSession, out_dir: str, snapshot: str | None = None
+) -> DataFrame:
+    """Pinned snapshot read (Iceberg ``VERSION AS OF`` analog).
+
+    ``snapshot=None`` resolves the LATEST snapshot from the manifest
+    (max committed_at). Only buckets the manifest records as committed
+    for that snapshot are visible — a crash between data-write and
+    manifest-append stays invisible, the same read-committed contract the
+    resume path relies on. Only the pinned snapshot's ``data/snapshot=<id>``
+    directory is listed or read, so the result carries the SNAPSHOT'S OWN
+    schema: a column added by a later snapshot does not appear in an
+    older pinned read (Iceberg time travel reads with the snapshot's
+    recorded schema-id — here the data files themselves are the record)."""
+    snapshot, phys, committed = _resolve_snapshot(spark, out_dir, snapshot)
+    data_path = os.path.join(out_dir, DATA_DIR)
     data = (
         spark.read.option("basePath", data_path)
         .parquet(os.path.join(data_path, f"snapshot={phys}"))
@@ -462,6 +479,148 @@ def compact_snapshot(
     }
 
 
+_VTYPES = {int: "int", float: "float", str: "str", bytes: "bytes"}
+
+
+def _footer_stats(spark: SparkSession, files: list[str], columns) -> list:
+    """Per-file min/max for ``columns`` from the parquet FOOTERS — a
+    metadata-only pass, no data pages are read (the Iceberg
+    ``add_files``/migrate path builds manifests exactly this way).
+    Footer reads run on EXECUTORS via mapInPandas over the file list;
+    the collected result is one small row per (file, column) — the same
+    size as the manifest entries Iceberg's planner reads on the driver.
+    """
+    import pandas as pd
+
+    cols = list(columns)
+
+    def scan(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for c in cols:
+                    lo = hi = None
+                    ok = c in idx
+                    if ok:
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(idx[c]).statistics
+                            if st is None or not st.has_min_max:
+                                ok = False
+                                break
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+                    if ok and lo is not None:
+                        v = lo.decode() if isinstance(lo, bytes) else lo
+                        out.append(
+                            (f, c, str(lo), str(hi),
+                             _VTYPES.get(type(v), "str"), md.num_rows)
+                        )
+                    else:  # stats absent: recorded as unbounded (never pruned)
+                        out.append((f, c, None, None, "none", md.num_rows))
+            yield pd.DataFrame(
+                out,
+                columns=["file", "column", "vmin", "vmax", "vtype", "n_rows"],
+            )
+
+    fdf = spark.createDataFrame([(f,) for f in files], "file STRING")
+    return (
+        fdf.repartition(min(max(len(files), 1), 32))
+        .mapInPandas(
+            scan,
+            "file STRING, column STRING, vmin STRING, vmax STRING, "
+            "vtype STRING, n_rows BIGINT",
+        )
+        .collect()
+    )
+
+
+def write_file_stats(
+    spark: SparkSession, out_dir: str, snapshot: str | None = None,
+    columns=("conv_id",),
+) -> dict:
+    """Record per-data-file column min/max into the ``_stats`` manifest
+    (the Iceberg manifest-entry ``lower_bounds``/``upper_bounds`` analog)
+    for one snapshot's CURRENT physical file generation. Stats are read
+    from parquet footers on executors (``_footer_stats``) and written
+    once; plan-time pruning then reads this metadata-sized table instead
+    of touching any footer. Keyed by PHYSICAL directory, so a later
+    compaction naturally invalidates them — ``read_snapshot_pruned``
+    falls back to a live footer scan when no stats row matches.
+
+    Selectivity requires sorted writes (``run_with_lineage(sort_by=)``
+    or a post-hoc compaction): hash-bucketed unsorted files each span
+    the whole key range, and stats then prune nothing — the same truth
+    table Iceberg documents for its own min/max pruning."""
+    snapshot, phys, _ = _resolve_snapshot(spark, out_dir, snapshot)
+    src = os.path.join(out_dir, DATA_DIR, f"snapshot={phys}")
+    rows = _footer_stats(spark, _data_files(src), columns)
+    dest = os.path.join(out_dir, STATS_DIR, f"snapshot={phys}")
+    spark.createDataFrame(
+        rows,
+        "file STRING, column STRING, vmin STRING, vmax STRING, "
+        "vtype STRING, n_rows BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(dest)
+    return {"snapshot": snapshot, "physical": phys, "files": len({r.file for r in rows})}
+
+
+def _typed(v: str | None, vtype: str):
+    if v is None:
+        return None
+    return int(v) if vtype == "int" else float(v) if vtype == "float" else v
+
+
+def read_snapshot_pruned(
+    spark: SparkSession, out_dir: str, column: str, lo, hi,
+    snapshot: str | None = None,
+) -> DataFrame:
+    """Pinned snapshot read with manifest-stats FILE PRUNING (the Iceberg
+    scan-planning path): resolve the snapshot exactly like
+    ``read_snapshot``, then open ONLY the data files whose recorded
+    [min, max] for ``column`` overlaps [lo, hi] — files wholly outside
+    the range are never listed in the scan. The residual predicate
+    ``column BETWEEN lo AND hi`` still applies (file granularity is a
+    superset), so the result equals
+    ``read_snapshot(...).where(col BETWEEN lo AND hi)`` row-for-row while
+    reading a subset of the files; files with no usable stats are kept
+    (no evidence → no pruning). Stats come from the ``_stats`` manifest
+    if ``write_file_stats`` ran for the current physical generation,
+    else from a live executor-side footer scan at plan time."""
+    snapshot, phys, committed = _resolve_snapshot(spark, out_dir, snapshot)
+    data_path = os.path.join(out_dir, DATA_DIR)
+    src = os.path.join(data_path, f"snapshot={phys}")
+    try:
+        stats = spark.read.parquet(
+            os.path.join(out_dir, STATS_DIR, f"snapshot={phys}")
+        ).where(F.col("column") == column).collect()
+    except Exception:
+        stats = []
+    if not stats:
+        stats = [
+            r for r in _footer_stats(spark, _data_files(src), [column])
+            if r.column == column
+        ]
+    keep = []
+    for r in stats:
+        vmin, vmax = _typed(r.vmin, r.vtype), _typed(r.vmax, r.vtype)
+        if vmin is None or vmax is None or (vmax >= lo and vmin <= hi):
+            keep.append(r.file)
+    if not keep:  # every file pruned: empty result with the full schema
+        base = read_snapshot(spark, out_dir, snapshot)
+        return base.where(F.lit(False))
+    data = (
+        spark.read.option("basePath", data_path).parquet(*sorted(keep))
+        .where(F.col("bucket").isin(committed))
+        .where(F.col(column).between(F.lit(lo), F.lit(hi)))
+    )
+    if phys != snapshot:
+        data = data.withColumn("snapshot", F.lit(snapshot))
+    return data
+
+
 def remove_orphan_files(spark: SparkSession, out_dir: str) -> dict:
     """Reclaim data directories no reader can reach (Iceberg
     ``remove_orphan_files`` + post-compaction cleanup): for every live
@@ -566,6 +725,8 @@ def run_with_lineage(
     snapshot: str | None = None,
     buckets: int = 64,
     transform=None,
+    sort_by: str | None = None,
+    sort_partitions: int | None = None,
     **extract_kw,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict.
@@ -578,6 +739,16 @@ def run_with_lineage(
     output ADDS columns (schema evolution) — pinned reads of older
     snapshots keep their own schema, ``read_changes`` merges across the
     boundary. It must keep ``conv_id`` (the bucket/partition key).
+
+    ``sort_by`` (Iceberg sort-order analog): range-partition the output
+    on (bucket, sort_by) before the write, so each bucket's data files
+    carry CONTIGUOUS, largely disjoint ``sort_by`` ranges — the layout
+    that makes footer/manifest min-max stats selective
+    (``write_file_stats`` → ``read_snapshot_pruned``). Costs one range
+    exchange (with its sampling pass), the standard sorted-write trade.
+    ``sort_partitions`` bounds the output file count (files ≈ range
+    partitions; defaults to Spark's shuffle partitioning — size it to
+    the target file size at the corpus SF, like ``maxPartitionBytes``).
     """
     if snapshot is None:
         snapshot = snapshot_id(transcripts)
@@ -611,6 +782,13 @@ def run_with_lineage(
         "bucket", _bucket(F.col("conv_id"), buckets)
     )
     out = out.observe(obs_out, F.count(F.lit(1)).alias("total"), *_counts("b"))
+    if sort_by is not None:
+        rng = (
+            [sort_partitions] if sort_partitions else []
+        ) + [F.col("bucket"), F.col(sort_by)]
+        out = out.repartitionByRange(*rng).sortWithinPartitions(
+            "bucket", sort_by
+        )
     data_path = os.path.join(out_dir, DATA_DIR)
     (
         # snapshot is the OUTER partition layer: a new input snapshot

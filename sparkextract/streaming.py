@@ -155,6 +155,19 @@ def quality_scrub_stream(doc_stream: DataFrame) -> DataFrame:
     )
 
 
+def split_stream(doc_stream: DataFrame, val_frac: float = 0.1) -> DataFrame:
+    """Stateless leakage-safe train/val routing on a document stream —
+    ``textops.leakage_safe_split`` unchanged under Structured Streaming
+    (map-only, no state, no watermark). Because the split bit is keyed
+    on md5(text), a duplicate arriving WEEKS after its twin still lands
+    on the same side — the streaming property a random or arrival-order
+    split cannot give, and the reason the content-keyed rule matters at
+    ingest time, not just in batch backfill."""
+    from .textops import leakage_safe_split
+
+    return leakage_safe_split(doc_stream, val_frac=val_frac)
+
+
 def html_extract_stream(doc_stream: DataFrame) -> DataFrame:
     """Stateless HTML main-content extraction on a document stream —
     the ``htmlops.html_main_content`` zero-shuffle projection runs

@@ -303,3 +303,51 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in enrich_clicks_stream(events).collect())
     assert got == want and got  # non-vacuous: some clicks do enrich
+
+
+def test_split_stream_matches_batch(spark, tmp_path):
+    """Content-keyed train/val routing under streaming must equal the
+    batch split row for row — and duplicates arriving in DIFFERENT
+    micro-batches must still land on the same side (the leakage
+    property arrival order cannot break)."""
+    from pyspark.sql import functions as F
+
+    from sparkextract.streaming import split_stream
+    from sparkextract.textops import leakage_safe_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant a cross-batch duplicate: doc 9001 repeats doc 0's text
+    dup = docs.limit(1).select(
+        F.lit(9001).cast("long").alias("doc_id"), "source", "text",
+        *[c for c in docs.columns if c not in ("doc_id", "source", "text")],
+    ).select(*docs.columns)
+    planted = docs.unionByName(dup)
+    src = str(tmp_path / "src_docs")
+    planted.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        split_stream(stream)
+        .writeStream.format("memory")
+        .queryName("split_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_split"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.doc_id: r.split
+        for r in spark.sql("SELECT * FROM split_docs").collect()
+    }
+    want = {
+        r.doc_id: r.split for r in leakage_safe_split(planted).collect()
+    }
+    assert got == want
+    assert got[9001] == got[0], "cross-batch duplicate straddled the split"
+    assert {"train", "val"} == set(got.values())
