@@ -331,6 +331,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"),
             _t(s, d, "documents").where("source = 'src0'"),
         ),
+        # round-5: the PRODUCTION DSIR form — same scoring chain, rank
+        # window replaced by a map-only threshold compare (the 100 TB
+        # swap made concrete; -20 sits mid-distribution at both SFs)
+        "dsir_select_threshold": lambda s, d: textops.dsir_select_threshold(
+            _t(s, d, "documents"),
+            _t(s, d, "documents").where("source = 'src0'"),
+            min_score=-20,
+        ),
         # round-5: content-keyed train/val split — byte-identical texts
         # can never straddle the split (Lee+22 eval-leakage); map-only
         "leakage_safe_split": lambda s, d: textops.leakage_safe_split(
@@ -469,7 +477,8 @@ _PINNED = [
     "cosine_neardup_ivf", "dedup_against", "mixture_sample",
     "segment_dedup", "pack_sequences",
     # new in round 5 — pinned this round per the rotation rule
-    "dsir_select", "leakage_safe_split", "bm25_topk", "kcenter_select",
+    "dsir_select", "dsir_select_threshold", "leakage_safe_split",
+    "bm25_topk", "kcenter_select",
 ]
 
 _ROTATING = [
@@ -969,6 +978,7 @@ FROM inj
         "mixture_sample": textops.mixture_sample_sql(),
         "pack_sequences": textops.pack_sequences_sql(),
         "dsir_select": textops.dsir_select_sql(),
+        "dsir_select_threshold": textops.dsir_select_threshold_sql(-20),
         "leakage_safe_split": textops.leakage_safe_split_sql(),
         "bm25_topk": textops.bm25_topk_sql(),
         "kcenter_select": simsearch.kcenter_select_sql(),

@@ -183,6 +183,12 @@ def run(spark) -> dict:
         ),
     )
     bench("leakage_safe_split", lambda: textops.leakage_safe_split(big_src))
+    bench(
+        "dsir_select_threshold",
+        lambda: textops.dsir_select_threshold(
+            big_src, big_src.where("source = 'src0'"), min_score=-20
+        ),
+    )
     bench("bm25_topk", lambda: textops.bm25_topk(big_src))
     bench("kcenter_select", lambda: simsearch.kcenter_select(t("embeddings")))
     bench(

@@ -1311,6 +1311,48 @@ def dsir_select(
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
     from pyspark.sql import Window
+
+    scored = _dsir_scored(documents, target)
+    w = Window.orderBy(F.col("dsir_score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy()))
+        .select(
+            "doc_id", "n_feats", "dsir_score",
+            (
+                F.col("rn")
+                <= F.floor(F.col("cnt") * F.lit(rate)).cast("bigint")
+            ).alias("selected"),
+        )
+    )
+
+
+def dsir_select_threshold(
+    documents: DataFrame, target: DataFrame, min_score: int
+) -> DataFrame:
+    """The PRODUCTION-scale form of ``dsir_select``: same exact-integer
+    DSIR scoring chain, but selection is ``dsir_score >= min_score`` — a
+    MAP-ONLY compare on the scored stream, no global rank window at
+    all. This is the documented 100 TB swap made concrete: take
+    ``min_score`` from an offline quantile estimate (the
+    ``length_quantiles``/sketch pattern over a prior run's scores, or a
+    sample) and the whole plan is combinable aggs + broadcast joins —
+    the selected FRACTION is approximate (whatever mass clears the
+    threshold), the selected SET is exact, deterministic, and
+    partition-invariant for any given threshold.
+    Output: doc_id, n_feats, dsir_score, selected.
+    """
+    return _dsir_scored(documents, target).select(
+        "doc_id", "n_feats", "dsir_score",
+        (F.col("dsir_score") >= F.lit(int(min_score))).alias("selected"),
+    )
+
+
+def _dsir_scored(documents: DataFrame, target: DataFrame) -> DataFrame:
+    """Shared DSIR scoring chain (see ``dsir_select`` for the contract):
+    two combinable 256-row feature-count aggs, broadcast delta join onto
+    the raw gram stream, one combinable per-doc agg → (doc_id, n_feats,
+    dsir_score)."""
     from pyspark.sql.functions import broadcast
 
     def feats_of(df):
@@ -1354,7 +1396,7 @@ def dsir_select(
     tot = cr.agg(F.sum("cr").alias("r_tot")).crossJoin(
         ct.agg(F.sum("ct").alias("t_tot"))
     )
-    scored = (
+    return (
         raw_feats.join(broadcast(delta), "feat")
         .groupBy("doc_id")
         .agg(
@@ -1372,29 +1414,12 @@ def dsir_select(
             ).cast("bigint").alias("dsir_score"),
         )
     )
-    w = Window.orderBy(F.col("dsir_score").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy()))
-        .select(
-            "doc_id", "n_feats", "dsir_score",
-            (
-                F.col("rn")
-                <= F.floor(F.col("cnt") * F.lit(rate)).cast("bigint")
-            ).alias("selected"),
-        )
-    )
 
 
-def dsir_select_sql(
-    rate: float = 0.25,
-    source_sql: str = "documents",
-    target_sql: str = "(SELECT * FROM documents WHERE source = 'src0')",
-) -> str:
-    """DuckDB twin of ``dsir_select`` (identical ilog2 integer scoring;
-    rate cast to DOUBLE so floor(n·rate) matches Spark's IEEE product)."""
-    return f"""
-WITH wd AS (
+def _dsir_scored_cte(source_sql: str, target_sql: str) -> str:
+    """Shared WITH-body of the DSIR twins: identical ilog2 integer
+    scoring chain ending in the ``scored`` CTE."""
+    return f"""wd AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
   FROM {source_sql}
 ),
@@ -1440,11 +1465,37 @@ scored AS (
               AS BIGINT) AS dsir_score
   FROM feats f JOIN delta d USING (feat), tot t
   GROUP BY f.doc_id, t.r_tot, t.t_tot
-)
+)"""
+
+
+def dsir_select_sql(
+    rate: float = 0.25,
+    source_sql: str = "documents",
+    target_sql: str = "(SELECT * FROM documents WHERE source = 'src0')",
+) -> str:
+    """DuckDB twin of ``dsir_select`` (identical ilog2 integer scoring;
+    rate cast to DOUBLE so floor(n·rate) matches Spark's IEEE product)."""
+    return f"""
+WITH {_dsir_scored_cte(source_sql, target_sql)}
 SELECT doc_id, n_feats, dsir_score,
        ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id)
          <= CAST(floor(COUNT(*) OVER () * CAST({rate!r} AS DOUBLE)) AS BIGINT)
          AS selected
+FROM scored
+"""
+
+
+def dsir_select_threshold_sql(
+    min_score: int,
+    source_sql: str = "documents",
+    target_sql: str = "(SELECT * FROM documents WHERE source = 'src0')",
+) -> str:
+    """DuckDB twin of ``dsir_select_threshold`` (same scoring chain, the
+    rank window replaced by the threshold compare)."""
+    return f"""
+WITH {_dsir_scored_cte(source_sql, target_sql)}
+SELECT doc_id, n_feats, dsir_score,
+       dsir_score >= {int(min_score)} AS selected
 FROM scored
 """
 

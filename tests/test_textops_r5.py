@@ -183,3 +183,23 @@ def test_round5_plan_shapes(spark, docs):
     assert "BroadcastHashJoin" in dsir  # delta(feat) onto the gram stream
     assert "SortMergeJoin" not in dsir
     assert "CartesianProduct" not in dsir
+
+
+def test_dsir_threshold_is_production_form(spark, docs):
+    """Threshold variant: identical scores to the rank form, selection
+    = score >= min_score, and NO global rank window in the plan (the
+    100 TB map-only tail the rank form's docstring promises)."""
+    target = docs.where("source = 'src0'")
+    ranked = {
+        r.doc_id: (r.n_feats, r.dsir_score)
+        for r in textops.dsir_select(docs, target).collect()
+    }
+    thr = textops.dsir_select_threshold(docs, target, min_score=-20)
+    got = {r.doc_id: (r.n_feats, r.dsir_score, r.selected)
+           for r in thr.collect()}
+    assert {d: v[:2] for d, v in got.items()} == ranked
+    assert all((v[1] >= -20) == v[2] for v in got.values())
+    assert any(v[2] for v in got.values())
+    assert not all(v[2] for v in got.values())
+    plan = thr._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
