@@ -260,6 +260,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_select": lambda s, d: simsearch.kcenter_select(
             _t(s, d, "embeddings")
         ),
+        # round-5: reciprocal-rank fusion (Cormack+09) ensembling the
+        # untrained and trained IVF retrievers — integer-truncated
+        # 1e6 div (60+rank) contributions, full-outer on bounded top-k sets
+        "rrf_fuse_ann": lambda s, d: simsearch.rrf_fuse(
+            simsearch.ivf_topk(_t(s, d, "embeddings")),
+            simsearch.ivf_topk_trained(_t(s, d, "embeddings")),
+        ),
         # --- crawl-style URL ops (synthetic URLs per doc: five surface
         # variants per canonical form, so every normalization rule is
         # load-bearing — 500 raw urls collapse to 280 canonical) ---
@@ -478,7 +485,7 @@ _PINNED = [
     "segment_dedup", "pack_sequences",
     # new in round 5 — pinned this round per the rotation rule
     "dsir_select", "dsir_select_threshold", "leakage_safe_split",
-    "bm25_topk", "kcenter_select",
+    "bm25_topk", "kcenter_select", "rrf_fuse_ann",
 ]
 
 _ROTATING = [
@@ -1038,43 +1045,7 @@ r AS (
 )
 SELECT q_id, n_id, dot, rank FROM r WHERE rank <= 10
 """,
-        "ann_ivf_topk": """
-WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-  FROM embeddings
-),
-cents AS (SELECT vec_id AS cell, qv AS cv FROM q WHERE vec_id < 8),
-scored AS (
-  SELECT q.vec_id, q.qv, c.cell,
-         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
-                                      i -> q.qv[i] * c.cv[i])) AS BIGINT) AS cdot
-  FROM q CROSS JOIN cents c
-),
-assigned AS (
-  SELECT vec_id, qv, cell FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY cdot DESC, cell ASC) AS rn
-    FROM scored
-  ) WHERE rn = 1
-),
-queries AS (
-  SELECT vec_id AS q_id, qv AS query_v, cell FROM assigned WHERE vec_id % 10 = 0
-),
-pairs AS (
-  SELECT qq.q_id, a.vec_id AS n_id,
-         CAST(list_sum(list_transform(range(1, len(qq.query_v) + 1),
-                                      i -> qq.query_v[i] * a.qv[i])) AS BIGINT) AS dot
-  FROM assigned a JOIN queries qq USING (cell)
-  WHERE a.vec_id <> qq.q_id
-)
-SELECT q_id, n_id, dot, rank FROM (
-  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-                                    ORDER BY dot DESC, n_id ASC) AS INT) AS rank
-  FROM pairs
-) WHERE rank <= 5
-""",
+        "ann_ivf_topk": simsearch.ivf_topk_sql(),
         "neardup_clusters": _NEARDUP_CLUSTERS,
         "ann_ivf_train": simsearch.ivf_train_sql(),
         "dedup_representatives": f"""
@@ -1085,6 +1056,9 @@ SELECT doc_id, n_members FROM (
 )
 """,
         "ann_ivf_topk_trained": simsearch.ivf_topk_trained_sql(),
+        "rrf_fuse_ann": simsearch.rrf_fuse_sql(
+            simsearch.ivf_topk_sql(), simsearch.ivf_topk_trained_sql()
+        ),
         "ann_ivf_topk_nprobe": simsearch.ivf_topk_trained_sql(nprobe=3),
         "cosine_neardup_ivf": simsearch.cosine_neardup_ivf_sql(),
         "semdedup": simsearch.semdedup_sql(),

@@ -192,6 +192,13 @@ def run(spark) -> dict:
     bench("bm25_topk", lambda: textops.bm25_topk(big_src))
     bench("kcenter_select", lambda: simsearch.kcenter_select(t("embeddings")))
     bench(
+        "rrf_fuse_ann",
+        lambda: simsearch.rrf_fuse(
+            simsearch.ivf_topk(t("embeddings")),
+            simsearch.ivf_topk_trained(t("embeddings")),
+        ),
+    )
+    bench(
         "training_corpus_v4",
         lambda: simsearch.training_corpus_v4(docs, t("embeddings"), docs),
     )

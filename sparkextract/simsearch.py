@@ -267,6 +267,49 @@ def neardup_pair_recall(
     return out
 
 
+def ivf_topk_sql(k: int = 5, query_mod: int = 10, n_cells: int = 8) -> str:
+    """DuckDB twin of ``ivf_topk`` (untrained fixed first-k centroids;
+    formerly inline in ``__spark_entry__`` — hoisted so ``rrf_fuse_sql``
+    can compose it with the trained twin)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cell, qv AS cv FROM q WHERE vec_id < {n_cells}),
+scored AS (
+  SELECT q.vec_id, q.qv, c.cell,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                      i -> q.qv[i] * c.cv[i])) AS BIGINT) AS cdot
+  FROM q CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cell ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS q_id, qv AS query_v, cell FROM assigned WHERE vec_id % {query_mod} = 0
+),
+pairs AS (
+  SELECT qq.q_id, a.vec_id AS n_id,
+         CAST(list_sum(list_transform(range(1, len(qq.query_v) + 1),
+                                      i -> qq.query_v[i] * a.qv[i])) AS BIGINT) AS dot
+  FROM assigned a JOIN queries qq USING (cell)
+  WHERE a.vec_id <> qq.q_id
+)
+SELECT q_id, n_id, dot, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY dot DESC, n_id ASC) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
 def ivf_topk_trained_sql(
     k: int = 5, query_mod: int = 10, n_cells: int = 8, iters: int = 2,
     nprobe: int = 1,
@@ -1299,3 +1342,73 @@ m0 AS MATERIALIZED (
 )"""
             )
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame, ranked_b: DataFrame, k: int = 60, topk: int = 5
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    — the standard way to ENSEMBLE two retrieval systems' rankings
+    (lexical BM25 + vector ANN, or two ANN configurations) without
+    comparing their incommensurable scores: each system contributes
+    1/(k + rank) per (query, candidate), summed. Computed here as the
+    integer-scaled truncation ``1_000_000 // (k + rank)`` (exact in any
+    engine; the repo's quantized-score contract), with absent candidates
+    contributing 0 via a full-outer rank join. Ties break candidate-id
+    ASC, so the fused ranking is deterministic.
+
+    Inputs: two DataFrames with columns (q_id, n_id, rank) — the shape
+    ``ivf_topk``/``ivf_topk_trained``/``baseline_ann_topk`` and a
+    per-query ``textops.bm25_topk`` all emit.
+
+    Scale shape: both sides are ALREADY top-k-per-query tables (corpus
+    ∝ queries·k, not documents), so the (q_id, n_id) full-outer join
+    and the per-query rank window both run on bounded candidate sets —
+    the fusion stage can never dominate the retrieval stages that feed
+    it. Output: q_id, n_id, rrf_score, rank.
+    """
+    a = ranked_a.select("q_id", "n_id", F.col("rank").alias("rank_a"))
+    b = ranked_b.select("q_id", "n_id", F.col("rank").alias("rank_b"))
+    contrib = lambda name: F.coalesce(  # noqa: E731
+        F.expr(f"1000000 div ({int(k)} + {name})"), F.lit(0)
+    )
+    fused = (
+        a.join(b, ["q_id", "n_id"], "full_outer")
+        .select(
+            "q_id", "n_id",
+            (contrib("rank_a") + contrib("rank_b"))
+            .cast("bigint").alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_score").desc(), F.col("n_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("q_id", "n_id", "rrf_score", "rank")
+    )
+
+
+def rrf_fuse_sql(
+    sql_a: str, sql_b: str, k: int = 60, topk: int = 5
+) -> str:
+    """DuckDB twin of ``rrf_fuse`` over two ranked-list subqueries
+    (identical integer-truncated reciprocal contributions)."""
+    return f"""
+WITH ra AS MATERIALIZED ({sql_a}),
+rb AS MATERIALIZED ({sql_b}),
+fused AS (
+  SELECT COALESCE(ra.q_id, rb.q_id) AS q_id,
+         COALESCE(ra.n_id, rb.n_id) AS n_id,
+         CAST(COALESCE((1000000 // ({k} + ra.rank)), 0)
+              + COALESCE((1000000 // ({k} + rb.rank)), 0) AS BIGINT)
+           AS rrf_score
+  FROM ra FULL OUTER JOIN rb ON ra.q_id = rb.q_id AND ra.n_id = rb.n_id
+)
+SELECT q_id, n_id, rrf_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY rrf_score DESC, n_id ASC) AS INT) AS rank
+FROM fused
+QUALIFY rank <= {int(topk)}
+"""

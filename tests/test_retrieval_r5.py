@@ -187,3 +187,59 @@ def test_kcenter_partitioning_invariance(spark, emb):
         for r in simsearch.kcenter_select(emb.repartition(13), k=5).collect()
     )
     assert a == b
+
+
+# --- RRF fusion ---------------------------------------------------------
+
+
+def test_rrf_fuse_semantics(spark):
+    """A candidate ranked well by BOTH systems must outscore one ranked
+    equally well by only one; absent candidates contribute 0; ranks are
+    deterministic under ties (n_id ASC)."""
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "q_id long, n_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 10, 2), (0, 13, 1), (0, 12, 3)], "q_id long, n_id long, rank int"
+    )
+    got = {r.n_id: (r.rrf_score, r.rank)
+           for r in simsearch.rrf_fuse(a, b).collect()}
+    # 10: 1e6//61 + 1e6//62 = 16393 + 16129; 13 only 1e6//61; 11 only 1e6//62
+    assert got[10][0] == 16393 + 16129
+    assert got[13][0] == 16393 and got[11][0] == 16129
+    assert got[10][1] == 1, "double-ranked candidate must fuse to the top"
+    assert got[12][0] == 2 * (10**6 // 63)
+    # 10 (32522) > 12 (31746, two mid ranks) > 13 (16393) > 11 (16129)
+    assert [n for n, v in sorted(got.items(), key=lambda kv: kv[1][1])] == [
+        10, 12, 13, 11
+    ]
+
+
+def test_rrf_matches_python_oracle_on_ivf(spark, emb):
+    got = sorted(
+        tuple(r)
+        for r in simsearch.rrf_fuse(
+            simsearch.ivf_topk(emb), simsearch.ivf_topk_trained(emb)
+        ).collect()
+    )
+    ra = {(r.q_id, r.n_id): r.rank for r in simsearch.ivf_topk(emb).collect()}
+    rb = {
+        (r.q_id, r.n_id): r.rank
+        for r in simsearch.ivf_topk_trained(emb).collect()
+    }
+    score = {}
+    for key in set(ra) | set(rb):
+        score[key] = (10**6 // (60 + ra[key]) if key in ra else 0) + (
+            10**6 // (60 + rb[key]) if key in rb else 0
+        )
+    want = []
+    by_q = {}
+    for (q, n), sc in score.items():
+        by_q.setdefault(q, []).append((n, sc))
+    for q, cands in by_q.items():
+        for i, (n, sc) in enumerate(
+            sorted(cands, key=lambda t: (-t[1], t[0]))
+        ):
+            if i < 5:
+                want.append((q, n, sc, i + 1))
+    assert got == sorted(want)
