@@ -1393,8 +1393,13 @@ def _dsir_scored(documents: DataFrame, target: DataFrame) -> DataFrame:
             ).alias("d"),
         )
     )
-    tot = cr.agg(F.sum("cr").alias("r_tot")).crossJoin(
-        ct.agg(F.sum("ct").alias("t_tot"))
+    # coalesce the totals: SUM over an EMPTY side is NULL in Spark but
+    # the twin counts 0 (COUNT(*) over tfeats) — an empty target corpus
+    # must score, not null out (fuzz-pinned)
+    tot = cr.agg(
+        F.coalesce(F.sum("cr"), F.lit(0)).alias("r_tot")
+    ).crossJoin(
+        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("t_tot"))
     )
     return (
         raw_feats.join(broadcast(delta), "feat")
