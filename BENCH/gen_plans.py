@@ -113,6 +113,34 @@ sections = [
      "on source, and the final (source, seq_bin) aggregation reuses "
      "that partitioning (source is a prefix of the grouping key), so "
      "Catalyst plans no second shuffle - plan-guarded by test."),
+    ("DSIR selection, production threshold form (r5)",
+     textops.dsir_select_threshold(
+         docs, docs.where("source = 'src0'"), min_score=-20
+     ),
+     "Two combinable 256-row feature-count aggs, the delta table and "
+     "the one-row totals broadcast onto the gram stream, one "
+     "combinable doc_id agg, then a MAP-ONLY threshold compare - no "
+     "rank window anywhere (the exact-rank form adds exactly one "
+     "column-pruned single-partition window on top of this plan)."),
+    ("Leakage-safe train/val split (r5)",
+     textops.leakage_safe_split(docs),
+     "Zero exchanges: two md5s and a string compare fused into the "
+     "parquet scan - the whole operator is one Project. Content-keyed, "
+     "so duplicate co-assignment costs nothing."),
+    ("BM25 ranked retrieval (r5)",
+     textops.bm25_topk(docs),
+     "The words stream is filtered to the |query| literal terms before "
+     "the (doc, term) tf pre-agg; df (|query| rows) and the totals "
+     "broadcast; the only shuffle join is doc-keyed tf-dl over docs "
+     "containing a query term. Top-k shares dsir's single-partition "
+     "(doc_id, score) window with the documented sketch swap."),
+    ("Reciprocal-rank fusion of two IVF retrievers (r5)",
+     simsearch.rrf_fuse(simsearch.ivf_topk(emb),
+                        simsearch.ivf_topk_trained(emb)),
+     "Fusion operates on the two bounded top-k-per-query tables: a "
+     "(q_id, n_id) full-outer merge plus one per-query rank window - "
+     "cost is queries x k regardless of corpus size, so the retrieval "
+     "stages always dominate."),
 ]
 out = ["# PLANS — physical plans of the headline jobs",
        "",
