@@ -185,6 +185,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings"),
             _t(s, d, "documents"),
         ),
+        # round-5 capstone: v4 chain + map-only DSIR domain gate (scored
+        # vs the raw src0 slice) + content-keyed train/val split — the
+        # corpus MANIFEST with selected flag, not a filtered view
+        "training_corpus_v5": lambda s, d: simsearch.training_corpus_v5(
+            _pii_injected(s, d),
+            _t(s, d, "embeddings"),
+            _t(s, d, "documents"),
+            _t(s, d, "documents").where("source = 'src0'").select(
+                "doc_id", "text"
+            ),
+        ),
         # END-TO-END training-data path: extraction -> near-dup dedup ->
         # quality gate -> token accounting, text pinned by md5
         "pipeline_dedup_extract": lambda s, d: textops.training_corpus(
@@ -485,7 +496,7 @@ _PINNED = [
     "segment_dedup", "pack_sequences",
     # new in round 5 — pinned this round per the rotation rule
     "dsir_select", "dsir_select_threshold", "leakage_safe_split",
-    "bm25_topk", "kcenter_select", "rrf_fuse_ann",
+    "bm25_topk", "kcenter_select", "rrf_fuse_ann", "training_corpus_v5",
 ]
 
 _ROTATING = [
@@ -1069,6 +1080,9 @@ SELECT doc_id, n_members FROM (
             source_cte=_PII_INJ_CTE
         ),
         "training_corpus_v4": simsearch.training_corpus_v4_sql(
+            source_cte=_PII_INJ_CTE
+        ),
+        "training_corpus_v5": simsearch.training_corpus_v5_sql(
             source_cte=_PII_INJ_CTE
         ),
         "decontaminate": """

@@ -202,6 +202,13 @@ def run(spark) -> dict:
         "training_corpus_v4",
         lambda: simsearch.training_corpus_v4(docs, t("embeddings"), docs),
     )
+    bench(
+        "training_corpus_v5",
+        lambda: simsearch.training_corpus_v5(
+            docs, t("embeddings"), docs,
+            docs.where("source = 'src0'").select("doc_id", "text"),
+        ),
+    )
     bench("o5_interval_union", lambda: relops.interval_union(t("orders")))
     bench("j1_first_wins", lambda: relops.first_wins_fill(t("lineitem")))
 

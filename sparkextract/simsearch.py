@@ -1112,6 +1112,35 @@ def training_corpus_v4(
         segment_dedup,
     )
 
+    return _training_corpus_v4_full(
+        documents, embeddings, doc_sources, threshold, n_cells, iters,
+        nprobe, seg_words, rate, salt, seq_len,
+    ).select(
+        "doc_id", "source", "seq_bin", "n_words",
+        F.md5("dedup_text").alias("text_fp"), "n_kept",
+    )
+
+
+def _training_corpus_v4_full(
+    documents: DataFrame, embeddings: DataFrame, doc_sources: DataFrame,
+    threshold: float = 0.35, n_cells: int | str = "auto", iters: int = 2,
+    nprobe: int | str = "auto", seg_words: int = 32, rate: float = 0.5,
+    salt: str = "mix", seq_len: int = 256,
+) -> DataFrame:
+    """The v4 chain keeping ``dedup_text`` in the clear (not just its
+    md5) so downstream stages (v5's DSIR gate and content-keyed split)
+    can consume the surviving bytes. ``training_corpus_v4`` is the
+    md5-projected public face; output here is (doc_id, source, seq_bin,
+    n_words, dedup_text, n_kept)."""
+    from .textops import (
+        _gopher_pass_col,
+        mixture_sample,
+        pack_assign,
+        pii_scrub,
+        quality_classifier,
+        segment_dedup,
+    )
+
     qc = quality_classifier(documents).where(F.col("pass")).select("doc_id")
     gated = documents.where(_gopher_pass_col()).join(qc, "doc_id")
     scrubbed = pii_scrub(gated).select("doc_id", "scrubbed")
@@ -1132,22 +1161,77 @@ def training_corpus_v4(
         seq_len,
     )
     return assign.join(
-        final.select(
-            "doc_id", F.md5("dedup_text").alias("text_fp"), "n_kept"
-        ),
-        "doc_id",
-    ).select("doc_id", "source", "seq_bin", "n_words", "text_fp", "n_kept")
+        final.select("doc_id", "dedup_text", "n_kept"), "doc_id"
+    ).select("doc_id", "source", "seq_bin", "n_words", "dedup_text", "n_kept")
 
 
-def training_corpus_v4_sql(
+def training_corpus_v5(
+    documents: DataFrame, embeddings: DataFrame, doc_sources: DataFrame,
+    target: DataFrame,
+    threshold: float = 0.35, n_cells: int | str = "auto", iters: int = 2,
+    nprobe: int | str = "auto", seg_words: int = 32, rate: float = 0.5,
+    salt: str = "mix", seq_len: int = 256,
+    min_score: int = 40, val_frac: float = 0.1, split_salt: str = "split",
+) -> DataFrame:
+    """The round-5 capstone — the v4 corpus-shaping chain extended with
+    the two selection/assignment stages that close a training-data
+    pipeline:
+
+        v4 (gates → scrub → semantic+exact dedup → segment dedup →
+        mixture → packing) → DSIR domain selection (map-only THRESHOLD
+        form scored against ``target``, the quality-reference slice) →
+        content-keyed LEAKAGE-SAFE train/val split.
+
+    Both new stages run on the SEGMENT-DEDUPED text (the bytes a
+    training job would actually consume), and every doc keeps its
+    ``selected`` flag rather than being filtered — the output is the
+    corpus MANIFEST a data loader reads. One row per v4 survivor:
+    (doc_id, source, seq_bin, n_words, text_fp, n_kept, n_feats,
+    dsir_score, selected, split).
+
+    Plan at 100 TB: v4's shape plus two combinable 256-row DSIR stat
+    aggs + broadcasts (no rank window — the threshold form) and a
+    map-only split; neither new stage adds a corpus-sized shuffle.
+
+    ``min_score`` is the corpus-calibrated knob (the offline sketch
+    threshold): the v4-reduced corpus is far smaller than the raw
+    target slice, so scores sit well above ``dsir_select``'s raw-corpus
+    range — 40 splits the survivor distribution at both test SFs
+    (measured medians 58 / 33)."""
+    full = _training_corpus_v4_full(
+        documents, embeddings, doc_sources, threshold, n_cells, iters,
+        nprobe, seg_words, rate, salt, seq_len,
+    )
+    from .textops import dsir_select_threshold, leakage_safe_split
+
+    corpus = full.select("doc_id", F.col("dedup_text").alias("text"))
+    scored = dsir_select_threshold(corpus, target, min_score)
+    split = leakage_safe_split(
+        full.select("doc_id", "source", F.col("dedup_text").alias("text")),
+        val_frac, split_salt,
+    ).select("doc_id", "split")
+    return (
+        full.join(scored, "doc_id")
+        .join(split, "doc_id")
+        .select(
+            "doc_id", "source", "seq_bin", "n_words",
+            F.md5("dedup_text").alias("text_fp"), "n_kept",
+            "n_feats", "dsir_score", "selected", "split",
+        )
+    )
+
+
+def _training_corpus_v4_cte_body(
     threshold: float = 0.35, n_cells: int | str = "auto", iters: int = 2,
     nprobe: int | str = "auto", seg_words: int = 32, rate: float = 0.5,
     salt: str = "mix", seq_len: int = 256, source_cte: str | None = None,
 ) -> str:
-    """DuckDB twin of ``training_corpus_v4`` — stage twins embedded as
-    nested-WITH subqueries (the v3 pattern); the source column joins in
-    from the raw ``documents`` view, mirroring the Spark chain's
-    ``doc_sources`` argument."""
+    """The v4 twin as a CTE chain ending in ``v4full`` (dedup_text in
+    the clear) — shared by the v4 and v5 twins, mirroring the Spark-side
+    ``_training_corpus_v4_full`` split. Stage twins embed as nested-WITH
+    subqueries (the v3 pattern); the source column joins in from the raw
+    ``documents`` view, mirroring the chain's ``doc_sources`` argument.
+    Returned string starts after ``WITH `` (it begins with RECURSIVE)."""
     from .textops import (
         gopher_pass_sql,
         mixture_sample_sql,
@@ -1167,8 +1251,7 @@ def training_corpus_v4_sql(
     segd = segment_dedup_sql(seg_words, "kept4", "text").strip()
     mix = mixture_sample_sql(rate, salt, "withsrc4").strip()
     pack = pack_assign_sql(seq_len, "final4", "dedup_text").strip()
-    return f"""
-WITH RECURSIVE {src_cte}{body},
+    return f"""RECURSIVE {src_cte}{body},
 qcpass AS (
   SELECT doc_id FROM ({qc}) q WHERE q.pass
 ),
@@ -1202,10 +1285,64 @@ final4 AS (
   SELECT w.doc_id, w.source, w.dedup_text, w.n_kept
   FROM withsrc4 w JOIN sampled4 s ON s.doc_id = w.doc_id
 ),
-assign4 AS ({pack})
-SELECT a.doc_id, a.source, a.seq_bin, a.n_words,
-       md5(f.dedup_text) AS text_fp, f.n_kept
-FROM assign4 a JOIN final4 f ON f.doc_id = a.doc_id
+assign4 AS ({pack}),
+v4full AS (
+  SELECT a.doc_id, a.source, a.seq_bin, a.n_words, f.dedup_text, f.n_kept
+  FROM assign4 a JOIN final4 f ON f.doc_id = a.doc_id
+)"""
+
+
+def training_corpus_v4_sql(
+    threshold: float = 0.35, n_cells: int | str = "auto", iters: int = 2,
+    nprobe: int | str = "auto", seg_words: int = 32, rate: float = 0.5,
+    salt: str = "mix", seq_len: int = 256, source_cte: str | None = None,
+) -> str:
+    """DuckDB twin of ``training_corpus_v4`` (the md5 projection of the
+    shared ``v4full`` CTE body)."""
+    body = _training_corpus_v4_cte_body(
+        threshold, n_cells, iters, nprobe, seg_words, rate, salt,
+        seq_len, source_cte,
+    )
+    return f"""
+WITH {body}
+SELECT doc_id, source, seq_bin, n_words,
+       md5(dedup_text) AS text_fp, n_kept
+FROM v4full
+"""
+
+
+def training_corpus_v5_sql(
+    threshold: float = 0.35, n_cells: int | str = "auto", iters: int = 2,
+    nprobe: int | str = "auto", seg_words: int = 32, rate: float = 0.5,
+    salt: str = "mix", seq_len: int = 256, source_cte: str | None = None,
+    min_score: int = 40, val_frac: float = 0.1, split_salt: str = "split",
+    target_sql: str = "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
+) -> str:
+    """DuckDB twin of ``training_corpus_v5``: the shared v4 body, then
+    the DSIR scored-CTE chain over the deduped text vs ``target_sql``
+    and the content-keyed split, joined back per survivor."""
+    from .textops import _dsir_scored_cte, leakage_safe_split_sql
+
+    body = _training_corpus_v4_cte_body(
+        threshold, n_cells, iters, nprobe, seg_words, rate, salt,
+        seq_len, source_cte,
+    )
+    dsir = _dsir_scored_cte("v5txt", target_sql)
+    split = leakage_safe_split_sql(val_frac, split_salt, "v5txt").strip()
+    return f"""
+WITH {body},
+v5txt AS (
+  SELECT doc_id, source, dedup_text AS text FROM v4full
+),
+{dsir},
+split5 AS ({split})
+SELECT f.doc_id, f.source, f.seq_bin, f.n_words,
+       md5(f.dedup_text) AS text_fp, f.n_kept,
+       s.n_feats, s.dsir_score,
+       s.dsir_score >= {int(min_score)} AS selected, sp.split
+FROM v4full f
+JOIN scored s USING (doc_id)
+JOIN split5 sp USING (doc_id)
 """
 
 

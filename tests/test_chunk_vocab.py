@@ -166,3 +166,44 @@ def test_training_corpus_v4_stages_bite(spark):
     assert max(bins.values()) > 1
     assert all(r.seq_bin >= 0 and r.n_words >= 0 for r in rows)
     out.unpersist()
+
+
+def test_training_corpus_v5_manifest(spark):
+    """Round-5 capstone: v5 = v4 rows + (n_feats, dsir_score, selected,
+    split), each new column consistent with the STANDALONE operator run
+    on the v4 survivor text — composition adds no drift — and the split/
+    selection stages must both be non-vacuous on the synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from sparkextract import simsearch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    target = docs.where("source = 'src0'").select("doc_id", "text")
+    v5 = simsearch.training_corpus_v5(docs, emb, docs, target).collect()
+    v4 = simsearch.training_corpus_v4(docs, emb, docs).collect()
+    # v4 projection is preserved row-for-row
+    assert sorted(
+        (r.doc_id, r.source, r.seq_bin, r.n_words, r.text_fp, r.n_kept)
+        for r in v5
+    ) == sorted(tuple(r) for r in v4)
+    # standalone-operator consistency on the surviving text
+    full = simsearch._training_corpus_v4_full(docs, emb, docs)
+    corpus = full.select("doc_id", F.col("dedup_text").alias("text"))
+    want_score = {
+        r.doc_id: (r.n_feats, r.dsir_score, r.selected)
+        for r in textops.dsir_select_threshold(corpus, target, 40).collect()
+    }
+    want_split = {
+        r.doc_id: r.split
+        for r in textops.leakage_safe_split(
+            full.select("doc_id", "source", F.col("dedup_text").alias("text"))
+        ).collect()
+    }
+    for r in v5:
+        assert (r.n_feats, r.dsir_score, r.selected) == want_score[r.doc_id]
+        assert r.split == want_split[r.doc_id]
+    # both stages bite
+    assert {r.selected for r in v5} == {True, False} or len(v5) < 4
+    assert {r.split for r in v5} <= {"train", "val"}
+    assert any(r.split == "train" for r in v5)
