@@ -256,3 +256,66 @@ def test_training_corpus_v4_compose_fuzz(spark, case):
         # pipeline is provably non-vacuous here (doc 0 always survives:
         # gates pass by pool construction, min-id wins every dedup stage)
         assert len(got) >= 1
+
+
+@given(_v4_case)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_training_corpus_v5_compose_fuzz(spark, case):
+    """Round-5 capstone composed through the same adversarial corpora:
+    Spark v5 ≡ DuckDB v5 twin, v5's v4-projection ≡ v4 itself, and the
+    two added columns ≡ the standalone threshold-DSIR/split operators
+    run on the v4 survivor text (min_score=0 keeps the gate live on
+    these tiny corpora where score magnitudes vary wildly)."""
+    from sparkextract import simsearch
+
+    docs, rate = case
+    rows = [
+        (i, " ".join(SEGPOOL[j] for j in segs), src)
+        for i, (segs, src, _e) in enumerate(docs)
+    ]
+    emb_rows = [(i, [float(x) for x in e]) for i, (_s, _src, e) in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    edf = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+    target = sdf.where("source = 's1'").select("doc_id", "text")
+    got = {
+        tuple(r)
+        for r in simsearch.training_corpus_v5(
+            sdf, edf, sdf, target,
+            seg_words=8, rate=rate, seq_len=16, min_score=0,
+        ).collect()
+    }
+    v4 = {
+        tuple(r)
+        for r in simsearch.training_corpus_v4(
+            sdf, edf, sdf, seg_words=8, rate=rate, seq_len=16
+        ).collect()
+    }
+    assert {t[:6] for t in got} == v4, (rate, rows)
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": [i for i, _ in emb_rows], "embedding": [e for _, e in emb_rows]}
+        ),
+    )
+    duck = {
+        (int(r[0]), r[1], int(r[2]), int(r[3]), r[4], int(r[5]),
+         int(r[6]), int(r[7]), bool(r[8]), r[9])
+        for r in con.execute(
+            simsearch.training_corpus_v5_sql(
+                seg_words=8, rate=rate, seq_len=16, min_score=0,
+                target_sql="(SELECT doc_id, text FROM documents WHERE source = 's1')",
+            )
+        ).fetchall()
+    }
+    con.close()
+    assert got == duck, (rate, rows)
