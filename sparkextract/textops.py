@@ -1025,37 +1025,52 @@ def segment_dedup(documents: DataFrame, seg_words: int = 32) -> DataFrame:
 
     Output: doc_id, dedup_text, n_kept, n_total.
 
-    Plan at 100 TB: ONE shuffle moves the segment text, keyed by
-    md5(segment) (uniform — no skew), where a row_number window picks
-    the winner (the key is unique per (doc_id, seg_idx), so the pick is
-    total-ordered and deterministic); reassembly is a doc_id-keyed
-    combinable collect; n_total is computed map-side from the word count
-    (integer ceil-div — never re-counts segments). Shuffle volume is the
-    corpus text once — the floor for any content-keyed global dedup.
+    Plan at 100 TB (round-5 rewrite — the TEXT NEVER SHUFFLES): the
+    winner per segment key is ``min(struct(doc_id, seg_idx))`` over
+    md5(segment) — an AGGREGATE, so it combines map-side and the key
+    exchange carries ~16-byte keys for DISTINCT segments per map
+    partition, not corpus text (the previous window phrasing shuffled
+    and sorted the full segment text, then shuffled the survivors'
+    text AGAIN for reassembly — measured 0.32 scaling efficiency on
+    one box because exchange bandwidth, not compute, was the
+    bottleneck). Kept indices fold to one int-list row per doc; the
+    single text movement left is the doc_id equi-join of documents
+    against that tiny flag table, and each doc's surviving text is
+    re-derived MAP-SIDE from its own words (the same slice rule as
+    ``chunk_documents``, so bytes are identical). Bucket the documents
+    table by doc_id and even that join is co-located. n_total is the
+    map-side integer ceil-div of the word count.
     """
     segs = chunk_documents(documents, chunk_words=seg_words, overlap=0)
-    w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_idx")
-    kept = (
-        segs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    # winner = min (doc_id, chunk_idx) per content key: equivalent to the
+    # row_number()=1 pick but map-side combinable; chunk_text is pruned
+    # before the exchange (only its md5 rides along)
+    winners = (
+        segs.groupBy(F.md5("chunk_text").alias("key"))
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.chunk_idx").alias("chunk_idx"))
     )
-    ordered = F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text")))
-    agg = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(ordered, lambda s: s["chunk_text"]), " "
-        ).alias("dedup_text"),
+    keep_idx = winners.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("chunk_idx")).alias("ki"),
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
     )
-    tot = documents.select(
+    wcol = F.filter(F.split("text", " "), lambda x: x != "")
+    docs = documents.select(
         "doc_id",
+        wcol.alias("wrds"),
         F.expr(
             f"CAST((size(filter(split(text, ' '), x -> x != '')) "
             f"+ {seg_words - 1}) DIV {seg_words} AS BIGINT)"
         ).alias("n_total"),
     )
-    return agg.join(tot, "doc_id").select(
-        "doc_id", "dedup_text", "n_kept", "n_total"
+    seg_text = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("wrds"), i * F.lit(seg_words) + 1, F.lit(seg_words)), " "
+    )
+    return docs.join(keep_idx, "doc_id").select(
+        "doc_id",
+        F.array_join(F.transform("ki", seg_text), " ").alias("dedup_text"),
+        "n_kept",
+        "n_total",
     )
 
 

@@ -228,3 +228,10 @@ def test_round4b_plan_shapes(spark, docs):
     seg = textops.segment_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in seg
     assert "BroadcastNestedLoopJoin" not in seg
+    # round-5 rewrite: the winner pick is a combinable min(struct) AGG,
+    # not a window — segment TEXT must never ride an exchange (keys and
+    # int lists do; the doc text moves only in the final doc_id join)
+    assert "Window" not in seg, seg
+    for line in seg.splitlines():
+        if "Exchange" in line:
+            assert "chunk_text" not in line, line
