@@ -483,7 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # with the 31 rows that sat OUTSIDE the r04 window (stalest coverage
 # first); the 30 rows that were green in r04 follow.
 
-_ROUND = 5
+_ROUND = 6
 
 _PINNED = [
     "extract_pipeline", "extract_fused",
@@ -533,6 +533,10 @@ def _window_order(all_names: set) -> list:
         sorted((set(_PINNED) | set(_ROTATING)) - all_names),
     )
     take = 50 - len(_PINNED)
+    # the rotation rule moves every touched query into _PINNED — guard the
+    # day that overflows the window (take < 0 would silently shrink the
+    # driver gate below 50 via cycled[:take])
+    assert 0 <= take, f"_PINNED has {len(_PINNED)} entries, window is 50"
     start = ((_ROUND - 5) * take) % len(_ROTATING)
     cycled = _ROTATING[start:] + _ROTATING[:start]
     return _PINNED + cycled[:take] + cycled[take:]

@@ -479,7 +479,7 @@ def compact_snapshot(
     }
 
 
-_VTYPES = {int: "int", float: "float", str: "str", bytes: "bytes"}
+_VTYPES = {int: "int", float: "float", str: "str"}
 
 
 def _footer_stats(spark: SparkSession, files: list[str], columns) -> list:
@@ -514,10 +514,19 @@ def _footer_stats(spark: SparkSession, files: list[str], columns) -> list:
                             lo = st.min if lo is None else min(lo, st.min)
                             hi = st.max if hi is None else max(hi, st.max)
                     if ok and lo is not None:
-                        v = lo.decode() if isinstance(lo, bytes) else lo
+                        # decode BOTH bounds before stringifying: bytes
+                        # stats stored via str() would read "b'...'" and
+                        # corrupt range compares in read_snapshot_pruned;
+                        # non-UTF8 binary stats record as unbounded
+                        try:
+                            lo_v = lo.decode() if isinstance(lo, bytes) else lo
+                            hi_v = hi.decode() if isinstance(hi, bytes) else hi
+                        except UnicodeDecodeError:
+                            out.append((f, c, None, None, "none", md.num_rows))
+                            continue
                         out.append(
-                            (f, c, str(lo), str(hi),
-                             _VTYPES.get(type(v), "str"), md.num_rows)
+                            (f, c, str(lo_v), str(hi_v),
+                             _VTYPES.get(type(lo_v), "str"), md.num_rows)
                         )
                     else:  # stats absent: recorded as unbounded (never pruned)
                         out.append((f, c, None, None, "none", md.num_rows))
@@ -781,7 +790,6 @@ def run_with_lineage(
     out = fn(src.drop("bucket"), **extract_kw).withColumn(
         "bucket", _bucket(F.col("conv_id"), buckets)
     )
-    out = out.observe(obs_out, F.count(F.lit(1)).alias("total"), *_counts("b"))
     if sort_by is not None:
         rng = (
             [sort_partitions] if sort_partitions else []
@@ -789,6 +797,12 @@ def run_with_lineage(
         out = out.repartitionByRange(*rng).sortWithinPartitions(
             "bucket", sort_by
         )
+    # observe AFTER the optional range exchange: repartitionByRange runs a
+    # boundary-sampling job that re-executes its child subtree, so an
+    # observe below it records every count at 2x truth (counts are
+    # repartition-invariant, so above the exchange they execute exactly
+    # once, in the write stage)
+    out = out.observe(obs_out, F.count(F.lit(1)).alias("total"), *_counts("b"))
     data_path = os.path.join(out_dir, DATA_DIR)
     (
         # snapshot is the OUTER partition layer: a new input snapshot

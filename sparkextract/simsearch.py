@@ -1402,6 +1402,14 @@ def kcenter_select(embeddings: DataFrame, k: int = 8) -> DataFrame:
     distance at selection time (the covering radius BEFORE that center
     joins; NULL for the seed). radius is non-increasing in sel_round —
     the stopping diagnostic (elbow = enough coverage).
+
+    Saturation contract: chosen centers are never removed from the
+    candidate pool, so once every vector is covered at distance 0 (k >
+    n, or k > #distinct vectors), later rounds deterministically
+    re-select the min vec_id with radius 0 — ``vec_id`` CAN REPEAT
+    across rounds. Matched by the SQL twin and pinned by
+    test_kcenter_triangle_fuzz; consumers wanting distinct centers
+    should stop at the first radius-0 row.
     """
     if k < 1:
         raise ValueError("k must be >= 1")

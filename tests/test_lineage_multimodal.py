@@ -71,6 +71,31 @@ def test_lineage_observe_counts_match_truth(spark, tmp_path):
         assert lin[b].rows_out == truth_out.get(b, 0), b
 
 
+def test_lineage_observe_counts_match_truth_sorted(spark, tmp_path):
+    # the sort_by= path adds a repartitionByRange whose boundary-sampling
+    # job re-executes its child subtree: with observe() BELOW the range
+    # exchange every count recorded 2x truth (round-5 ADVICE, high).
+    # observe now sits ABOVE the exchange; counts must equal truth.
+    pdf = synth.gen_transcripts(n_convs=8, seed=33)
+    sdf = spark.createDataFrame(pdf, schema=schema.TRANSCRIPTS)
+    out = str(tmp_path / "out_sorted")
+    s = run_with_lineage(
+        spark, sdf, out, snapshot="snapS", buckets=4, sort_by="turn_idx"
+    )
+    assert s["rows_in"] == sdf.count()
+    lin = {r.partition_id: r for r in spark.read.parquet(f"{out}/_lineage").collect()}
+    from pyspark.sql import functions as F
+
+    data = spark.read.parquet(f"{out}/data")
+    truth_out = {
+        r.bucket: r.n
+        for r in data.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert s["rows_out"] == data.count()
+    for b in range(4):
+        assert lin[b].rows_out == truth_out.get(b, 0), b
+
+
 def test_lineage_snapshot_content_addressed(spark, tmp_path):
     # auto snapshot ids hash the input file listing: same files resume as
     # a no-op; a rewritten input is a NEW snapshot and reprocesses
