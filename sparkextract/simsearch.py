@@ -1202,6 +1202,16 @@ def training_corpus_v5(
         documents, embeddings, doc_sources, threshold, n_cells, iters,
         nprobe, seg_words, rate, salt, seq_len,
     )
+    # materialize the v4 chain ONCE (round-5 VERDICT item 2): `full` feeds
+    # THREE consumers below (the DSIR corpus, the split input, and the
+    # final manifest join) — without this the whole gate/scrub/dedup/
+    # segment/mixture/pack subtree is embedded 3x in one plan and
+    # ReuseExchange only partially dedupes it (measured: v5 cost v4+46%
+    # for two map-only stages). The checkpointed set is the v4 SURVIVOR
+    # manifest (already mixture-sampled — far smaller than the corpus);
+    # at cluster scale the analog is materializing the v4 table before
+    # the selection/split stages read it.
+    full = full.localCheckpoint(eager=True)
     from .textops import dsir_select_threshold, leakage_safe_split
 
     corpus = full.select("doc_id", F.col("dedup_text").alias("text"))

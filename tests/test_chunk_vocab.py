@@ -207,3 +207,23 @@ def test_training_corpus_v5_manifest(spark):
     assert {r.selected for r in v5} == {True, False} or len(v5) < 4
     assert {r.split for r in v5} <= {"train", "val"}
     assert any(r.split == "train" for r in v5)
+
+
+def test_training_corpus_v5_materializes_v4_once(spark):
+    """Round-6 plan guard (r5 VERDICT item 2): the v5 capstone references
+    the v4 chain three times (DSIR corpus, split input, manifest join) —
+    the chain must be MATERIALIZED once (localCheckpoint), so the plan
+    above it reads an ExistingRDD scan and contains none of the v4
+    machinery (no IVF posexplode, no python stages, no md5 dedup agg)."""
+    from sparkextract import simsearch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    target = docs.where("source = 'src0'").select("doc_id", "text")
+    v5 = simsearch.training_corpus_v5(docs, emb, docs, target)
+    plan = v5._jdf.queryExecution().optimizedPlan().toString()
+    # every v4-chain consumer reads the checkpointed RDD...
+    assert plan.count("LogicalRDD") >= 3, plan
+    # ...and the chain itself (IVF training's posexplode is its
+    # fingerprint) appears nowhere above the checkpoint
+    assert "posexplode" not in plan, plan
