@@ -89,9 +89,54 @@ def _extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _conv_keyed_partitions(df: DataFrame) -> int:
+    """If the caller handed us an input explicitly repartitioned by
+    conv_id ALONE (plan root = RepartitionByExpression(conv_id)), return
+    its partition count, else 0.
+
+    Why fused cares (guide §2.5 — skew): turn-level extraction is
+    embarrassingly parallel, and the narrow map stage inherits whatever
+    partitioning the input has — conversation-keyed partitioning puts a
+    hot conversation's ENTIRE Python extraction on one task (north_rule:
+    one conv can hold ~80% of turns). Conversation-keyed input buys
+    fused nothing in exchange: mapInPandas hides partitioning from the
+    planner, so the O8 window re-exchanges by conv_id regardless. The
+    engine therefore converts such an input into its own salted spread
+    (the ``repartition=`` path below) — identical rows out, hot
+    conversations spread over 16 salt buckets."""
+    try:
+        jp = df._jdf.queryExecution().logical()
+        if jp.getClass().getSimpleName() != "RepartitionByExpression":
+            return 0
+        exprs = jp.partitionExpressions()
+        if exprs.size() != 1:
+            return 0
+        e = exprs.apply(0)
+        # the raw (pre-analysis) plan carries UnresolvedAttribute; an
+        # analyzed child carries AttributeReference — both name the column
+        if e.getClass().getSimpleName() not in (
+            "AttributeReference", "UnresolvedAttribute"
+        ):
+            return 0
+        if e.name() != "conv_id":
+            return 0
+        n = jp.optNumPartitions()
+        return (
+            int(n.get())
+            if n.isDefined()
+            else df.sparkSession.sparkContext.defaultParallelism
+        )
+    except Exception:  # plan introspection is best-effort, never fatal
+        return 0
+
+
 def extract_fused(transcripts: DataFrame, repartition: int = 0) -> DataFrame:
     """transcripts → extracted (schema.EXTRACTED + turn_seq), one Python
-    stage, one shuffle (the O8 window)."""
+    stage, one shuffle (the O8 window). A caller-supplied conv_id-only
+    repartition at the plan root is converted to the salted spread — see
+    ``_conv_keyed_partitions``."""
+    if repartition == 0:
+        repartition = _conv_keyed_partitions(transcripts)
     doc_turns = transcripts.filter(
         F.col("text").contains("@page ") | F.col("tool").contains("@page ")
     ).select("conv_id", "turn_idx", "text", "tool")

@@ -40,3 +40,28 @@ def test_trained_not_catastrophically_worse(report):
     collapse, which would mean the training loop is broken."""
     for cells, r in report.items():
         assert r["trained"] >= r["ivf"] - 0.25, (cells, r)
+
+
+def test_numpy_paths_equal_join_paths(spark, monkeypatch):
+    """Round-6 guard: the numpy matmul train/probe fast paths (uniform
+    corpus under the centroid budget) must produce row-identical results
+    to the broadcast-join + window fallbacks they replace — pinned by
+    forcing the budget to 0 (fallback) and diffing every family member."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def snap():
+        return {
+            "train": sorted(map(tuple, simsearch.ivf_train(emb, k=16).collect())),
+            "trained": sorted(
+                map(tuple, simsearch.ivf_topk_trained(emb, nprobe=2).collect())
+            ),
+            "ivf_neardup": sorted(
+                map(tuple, simsearch.cosine_neardup_ivf(emb, n_cells=16).collect())
+            ),
+        }
+
+    fast = snap()
+    monkeypatch.setattr(simsearch, "_CENTROID_BUDGET", 0)
+    slow = snap()
+    for key in fast:
+        assert fast[key] == slow[key], key

@@ -54,3 +54,33 @@ def test_auto_nprobe_rule_matches_sql_twin():
     while cells <= (1 << 30):
         assert simsearch.auto_nprobe(cells) == max(4, cells // 4)
         cells *= 2
+
+
+def test_components_driver_equals_distributed(spark):
+    """Round-6 size-adaptive components: the driver union-find fast path
+    (edges under the threshold) must label every node identically to the
+    distributed min-label loop, including singletons, chains that force
+    multi-round propagation, and nodes absent from every edge."""
+    from pyspark.sql import functions as F
+
+    edges = [
+        (5, 3), (3, 9), (9, 7),          # chain -> min 3
+        (20, 21), (21, 20),              # parallel/dup edges -> min 20
+        (11, 2), (2, 15), (15, 11),      # cycle -> min 2
+        (30, 31),
+    ]
+    nodes = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    fast = {
+        (r.doc_id, r.cluster)
+        for r in simsearch._propagate_min_labels(nodes, pairs).collect()
+    }
+    slow = {
+        (r.doc_id, r.cluster)
+        for r in simsearch._propagate_min_labels(
+            nodes, pairs, driver_edge_threshold=0
+        ).collect()
+    }
+    assert fast == slow
+    assert (5, 3) in fast and (7, 3) in fast and (15, 2) in fast
+    assert (0, 0) in fast and (39, 39) in fast  # untouched nodes self-label

@@ -36,3 +36,24 @@ def test_skewed_corpus_equality(spark, skew_corpus, engine):
     got = {(r.conv_id, r.turn_idx): r.main_text
            for r in engine(sdf, repartition=16).collect()}
     assert got == {k: v["main_text"] for k, v in golden.items()}
+
+
+def test_conv_keyed_input_is_resalted(spark, skew_corpus):
+    """Round-6 skew mitigation: an input explicitly repartitioned by
+    conv_id ALONE is converted to fused's salted spread (identical rows;
+    the executed plan's first exchange hashes (conv_id, pmod(hash(
+    turn_idx), 16)) instead of serializing hot conversations), while the
+    plain un-repartitioned path stays single-exchange (the O8 window)."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(skew_corpus, schema=schema.TRANSCRIPTS)
+    plain = extract_fused(sdf)
+    keyed = extract_fused(sdf.repartition(8, F.col("conv_id")))
+    want = {(r.conv_id, r.turn_idx): r.main_text for r in plain.collect()}
+    got = {(r.conv_id, r.turn_idx): r.main_text for r in keyed.collect()}
+    assert got == want
+    kplan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "pmod(hash(turn_idx" in kplan, kplan
+    # the plain path must NOT gain an extra exchange from the mitigation
+    pplan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "pmod(hash(turn_idx" not in pplan, pplan
