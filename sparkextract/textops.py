@@ -842,23 +842,32 @@ def bigram_lm_score(documents: DataFrame, thr: float = 4.55) -> DataFrame:
             lambda i: F.concat_ws(" ", ws[i], ws[i + 1]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    doc_grams = (
+    # ONE linear pipeline (round 6): the (doc, gram) pre-agg rides an
+    # explicit gram-keyed exchange (hash on a SUBSET of the grouping keys
+    # satisfies the groupBy — the r5 tail-fuse rule), so the corpus-wide
+    # bigram count c12 is a WINDOW sum on the same partitioning (zero
+    # extra exchange) and c1 one w1-keyed window away. The former
+    # bg/ug join phrasing re-computed the explode+pre-agg subtree 3x
+    # (column pruning defeats ReuseExchange) and re-shuffled for both
+    # joins: 3 corpus passes + ~6 exchanges, now 1 pass + 3 exchanges.
+    # Per-window-key row counts stay bounded by distinct (doc, gram)
+    # pairs — the same stop-word skew envelope as the join phrasing.
+    dg = (
         documents.select("doc_id", F.split("text", " ").alias("ws"))
         .select("doc_id", F.explode(grams).alias("gram"))
+        .repartition(F.col("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("k"))
+        .withColumn("c12", F.sum("k").over(Window.partitionBy("gram")))
         .withColumn("w1", F.split("gram", " ")[0])
+        .withColumn("c1", F.sum("k").over(Window.partitionBy("w1")))
     )
-    bg = doc_grams.groupBy("gram").agg(F.sum("k").alias("c12"))
-    ug = doc_grams.groupBy("w1").agg(F.sum("k").alias("c1"))
 
     def ilog2(c):
         return F.length(F.conv(c.cast("string"), 10, 2)) - 1
 
     scored = (
-        doc_grams.join(bg, "gram")
-        .join(ug, "w1")
-        .groupBy("doc_id")
+        dg.groupBy("doc_id")
         .agg(
             F.sum("k").cast("bigint").alias("n_bigrams"),
             F.sum(
@@ -919,14 +928,20 @@ def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
     per-doc top-k window. The df table is vocabulary-sized; stop-word
     skew in the join is bounded because the window input is already
     pre-aggregated to one row per (doc, word)."""
+    # df as a WINDOW count on the word-keyed exchange the pre-agg already
+    # rides (hash on a subset of the grouping keys satisfies the groupBy),
+    # instead of a second recompute of the whole words+pre-agg subtree
+    # feeding a df agg + join (column pruning defeats ReuseExchange):
+    # 2 corpus passes + 3 exchanges before the rank window become 1 + 1
     wc = (
         words(documents)
+        .repartition(F.col("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("word")))
     )
-    df = wc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = wc.join(df, "word").crossJoin(F.broadcast(n))
+    scored = wc.crossJoin(F.broadcast(n))
     score = F.col("tf") * F.col("n_docs") / F.col("df")
     w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("word").asc())
     return (
@@ -1393,8 +1408,26 @@ def _dsir_scored(documents: DataFrame, target: DataFrame) -> DataFrame:
 
     raw_feats = feats_of(documents)
     tgt_feats = feats_of(target)
-    cr = raw_feats.groupBy("feat").agg(F.count(F.lit(1)).alias("cr"))
-    ct = tgt_feats.groupBy("feat").agg(F.count(F.lit(1)).alias("ct"))
+    # pre-aggregate the raw gram stream ONCE to (doc_id, feat, k): the
+    # corpus-wide counts (cr) and the per-doc scoring both derive from
+    # this one exchange (ReuseExchange dedupes it), so the explode+md5
+    # pass over the corpus runs once instead of twice, and the scoring
+    # join below carries ≤256 rows per doc instead of every occurrence
+    # materialize the two ≤256-row count tables ONCE: each is consumed
+    # twice (delta AND the totals), and column pruning makes the
+    # consumers' subtrees non-identical so ReuseExchange cannot dedupe
+    # them — without this the corpus gram explode ran 3x (scoring, cr's
+    # two consumers) and the target explode 2x per query
+    cr = (
+        raw_feats.groupBy("feat")
+        .agg(F.count(F.lit(1)).alias("cr"))
+        .localCheckpoint(eager=True)
+    )
+    ct = (
+        tgt_feats.groupBy("feat")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .localCheckpoint(eager=True)
+    )
     # LEFT join, not full-outer: every feat being scored comes from the
     # raw stream so it exists in cr; target-only feats can never match.
     # (Full-outer would force a sort-merge — outer joins can't broadcast.)
