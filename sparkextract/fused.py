@@ -34,6 +34,7 @@ from .turnkernel import run_turn_arrays
 
 def _extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
     dets = _parse_batch(batch)
+    f1_cache: dict = {}  # per-batch F1 memo (see run_turn_arrays)
     out_conv: list = []
     out_turn: list = []
     out_text: list = []
@@ -68,6 +69,7 @@ def _extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
                 pseq[det_sel], branch[det_sel], dord[det_sel], cat[det_sel],
                 score[det_sel], boxes[det_sel], content[det_sel],
                 didx[det_sel],
+                f1_cache=f1_cache,
             )
             out_conv.append(key_conv[s])
             out_turn.append(int(key_turn[s]))

@@ -24,7 +24,19 @@ from . import kernels
 
 @F.pandas_udf(StringType())
 def latex_udf(s: pd.Series) -> pd.Series:
-    return s.map(kernels.latex_rm_whitespace)
+    # per-batch memo: F1 is a pure ~10-regex-pass fixpoint and formula
+    # strings repeat within a batch; bounded by the batch's distinct
+    # formulas, dropped with the batch
+    cache: dict = {}
+
+    def f(x):
+        v = cache.get(x)
+        if v is None:
+            v = kernels.latex_rm_whitespace(x)
+            cache[x] = v
+        return v
+
+    return s.map(f)
 
 
 def recognize_formulas(

@@ -55,8 +55,15 @@ def run_turn_arrays(
     boxes: np.ndarray,  # (n,4)
     content: np.ndarray,  # object
     det_idx: np.ndarray,  # payload order — raw-det tiebreak (paddle_ocr.py)
+    f1_cache: dict | None = None,  # per-batch memo for the F1 fixpoint
 ) -> tuple[str, list[tuple]]:
-    """One turn's detection arrays → (main_text, spans list of tuples)."""
+    """One turn's detection arrays → (main_text, spans list of tuples).
+
+    ``f1_cache`` (optional, supplied per Arrow batch by the fused
+    engine) memoizes ``latex_rm_whitespace`` — a pure string→string
+    fixpoint of ~10 regex passes — for formula strings repeated within
+    the batch; bounded by the batch's distinct formulas, dropped with
+    the batch."""
     mds: list[str] = []
     out_spans: list[tuple] = []
     order_pages = sorted(page_list)  # (page_no, page_seq): A4 page order
@@ -76,7 +83,15 @@ def run_turn_arrays(
 
         # MFR (F1) on the formula branch
         for k in np.flatnonzero(pb == 1):
-            pcontent[k] = kernels.latex_rm_whitespace(pcontent[k])
+            c = pcontent[k]
+            if f1_cache is None:
+                pcontent[k] = kernels.latex_rm_whitespace(c)
+            else:
+                v = f1_cache.get(c)
+                if v is None:
+                    v = kernels.latex_rm_whitespace(c)
+                    f1_cache[c] = v
+                pcontent[k] = v
 
         # OCR merge: regions = OCR-able layout dets (pdf2markdown.py:209)
         model = pb < 2
