@@ -163,9 +163,20 @@ def ngram_jaccard_pairs(
     exact jaccard of the filtered shingle sets — sizes count filtered
     shingles too, so the measure stays internally consistent."""
     sh = shingles(documents)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    shf = sh.join(
-        dfreq.where(F.col("df") <= max_shingle_df).select("shingle"), "shingle"
+    # stop-shingle filter as a WINDOW count (one shingle-keyed exchange,
+    # no df-agg + join-back recompute), then materialize the filtered
+    # shingle table ONCE: it feeds THREE consumers (sizes + both sides
+    # of the self-join) whose column-pruned subtrees ReuseExchange
+    # cannot dedupe — the explode+distinct chain previously ran 4x.
+    # The checkpointed set is the filtered shingle index a production
+    # pipeline would persist anyway.
+    shf = (
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .where(F.col("df") <= max_shingle_df)
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=True)
     )
     sizes = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = shf.alias("a"), shf.alias("b")
@@ -462,8 +473,14 @@ def substring_dup_spans(documents: DataFrame, k: int = 5) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = words_df.select("doc_id", F.posexplode(grams).alias("pos", "h"))
-    dup = g.groupBy("h").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") >= 2)
-    flagged = g.join(dup.select("h"), "h").select("doc_id", "pos")
+    # duplication flag as a WINDOW count over one h-keyed exchange: the
+    # former groupBy + join-back consumed the gram explode twice (column
+    # pruning defeats ReuseExchange) and paid the join's second shuffle
+    flagged = (
+        g.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .where(F.col("n") >= 2)
+        .select("doc_id", "pos")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = flagged.withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
@@ -1650,15 +1667,35 @@ def bm25_topk(
         return F.length(F.conv(c.cast("string"), 10, 2)) - 1
 
     wtab = words(documents)
-    dl = wtab.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE pass over the words stream (round 6): dl and every per-term tf
+    # ride a single combinable per-doc wide aggregate, checkpointed once
+    # — the former dl/tf/df/w_tot branches each recomputed the explode
+    # (4 corpus passes; column pruning defeats ReuseExchange), and the
+    # tf⋈dl doc-keyed join disappears because dl already sits on the tf
+    # row. df and w_tot are tiny aggregates over the checkpoint.
+    aggs = [F.count(F.lit(1)).alias("dl")] + [
+        F.count(F.when(F.col("word") == t, F.lit(1))).alias(f"t{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = wtab.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=True)
+    kv = F.explode(
+        F.array(
+            *[
+                F.named_struct(
+                    F.lit("word"), F.lit(t), F.lit("tf"), F.col(f"t{i}")
+                )
+                for i, t in enumerate(terms)
+            ]
+        )
+    ).alias("kv")
     tf = (
-        wtab.where(F.col("word").isin(terms))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_doc.select("doc_id", "dl", kv)
+        .select("doc_id", "dl", F.col("kv.word").alias("word"), F.col("kv.tf").alias("tf"))
+        .where(F.col("tf") > 0)
     )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     tot = documents.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        wtab.agg(F.count(F.lit(1)).alias("w_tot"))
+        per_doc.agg(F.sum("dl").alias("w_tot"))
     )
     idf = F.greatest(
         F.lit(0),
@@ -1667,7 +1704,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(df), "word")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
