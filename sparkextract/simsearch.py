@@ -47,12 +47,51 @@ def baseline_ann_topk(
     queries = base.where(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"), F.col("q").alias("qv")
     )
-    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
-    scored = pairs.select(
-        "q_id",
-        F.col("vec_id").alias("n_id"),
-        _dot(F.col("qv"), F.col("q")).alias("dot"),
+    # round 6: the O(n²/query_mod) dot products run as ONE exact int64
+    # GEMM per Arrow batch (the cosine_neardup_blocked pattern) instead
+    # of an interpreted per-pair HOF over the nested-loop join — still
+    # the brute-force baseline algorithm, just vectorized. The query
+    # matrix ships in the closure (it is already collected to build the
+    # broadcast in the fallback); uniform-dim corpora only, and the same
+    # centroid-style budget bounds the closure size.
+    qrows = queries.collect()
+    qmat_ok = (
+        qrows
+        and all(r["qv"] for r in qrows)
+        and len({len(r["qv"]) for r in qrows}) == 1
+        and len(qrows) * len(qrows[0]["qv"]) <= 4 * _CENTROID_BUDGET
     )
+    if qmat_ok and _uniform_dim(base) == len(qrows[0]["qv"]):
+        q_ids = np.array([int(r["q_id"]) for r in qrows], dtype=np.int64)
+        qmat = np.array([r["qv"] for r in qrows], dtype=np.int64).T  # d×nq
+
+        def it(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vec_ids = pdf["vec_id"].to_numpy()
+                Q = np.array(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["q"]]
+                )
+                dots = Q @ qmat  # (batch × nq), exact int64
+                keep = vec_ids[:, None] != q_ids[None, :]
+                ii, jj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "q_id": q_ids[jj],
+                        "n_id": vec_ids[ii],
+                        "dot": dots[ii, jj],
+                    }
+                )
+
+        scored = base.mapInPandas(it, schema="q_id bigint, n_id bigint, dot bigint")
+    else:
+        pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        scored = pairs.select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            _dot(F.col("qv"), F.col("q")).alias("dot"),
+        )
     w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -278,17 +317,27 @@ def ivf_train(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     Measured at sf0.1 (2000×64, k=32): 5.4 s → ~1 s. Beyond the budget
     (k = √n grows with the corpus) the original broadcast-join + window
     phrasing below is the scale path — same arithmetic, same rows."""
+    return _ivf_train_impl(embeddings, k, iters)[0]
+
+
+def _ivf_train_impl(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> tuple[DataFrame, int]:
+    """(trained, uniform_dim): uniform_dim is the corpus dimensionality
+    when the numpy path verified it (callers reuse it instead of paying
+    the ``_uniform_dim`` action again), else 0."""
     base = quantized(embeddings)
     spark = embeddings.sparkSession
     init = base.where(F.col("vec_id") < k).collect()
     lcents = {
         int(r["vec_id"]): [int(v) for v in r["q"]] for r in init if r["q"]
     }
-    if (
-        lcents
-        and _centroid_fits(lcents)
-        and _uniform_dim(base) == len(next(iter(lcents.values())))
-    ):
+    udim = 0
+    if lcents and _centroid_fits(lcents):
+        udim = _uniform_dim(base)
+        if udim != len(next(iter(lcents.values()))):
+            udim = 0
+    if udim:
         lcounts = {c: 1 for c in lcents}
         for _ in range(iters):
             if not lcents:  # every cell emptied out — fixpoint is empty
@@ -321,8 +370,11 @@ def ivf_train(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
             for c in sorted(lcents)
             for i, v in enumerate(lcents[c])
         ]
-        return spark.createDataFrame(
-            rows, "cell BIGINT, dim INT, centroid_sum BIGINT, n_members BIGINT"
+        return (
+            spark.createDataFrame(
+                rows, "cell BIGINT, dim INT, centroid_sum BIGINT, n_members BIGINT"
+            ),
+            udim,
         )
     qd = base.select(
         "vec_id", F.posexplode("q").alias("dim", "val")
@@ -359,7 +411,7 @@ def ivf_train(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     # can be freed — no lingering cache blocks in long-lived sessions
     out = out.localCheckpoint(eager=True)
     qd.unpersist()
-    return out
+    return out, udim
 
 
 def ivf_topk_trained(
@@ -382,10 +434,10 @@ def ivf_topk_trained(
     cell ASC) ranking. Ragged corpora and bigger centroid tables use
     the original join+window phrasing."""
     base = quantized(embeddings)
-    trained = ivf_train(embeddings, k=n_cells, iters=iters)
+    trained, udim = _ivf_train_impl(embeddings, k=n_cells, iters=iters)
     lcents, lcounts = _collect_centroid_arrays(trained)
     dim = len(next(iter(lcents.values()))) if lcents else 0
-    if _centroid_fits(lcents) and _uniform_dim(base) == dim:
+    if dim and _centroid_fits(lcents) and udim == dim:
         assigned = _numpy_probes(
             base, lcents, lcounts, 1, dim, with_q=True
         ).select("vec_id", "q", "cell")
@@ -1006,10 +1058,10 @@ def cosine_neardup_ivf(
     if nprobe == "auto":
         nprobe = auto_nprobe(n_cells)
     base = quantized(embeddings)
-    trained = ivf_train(embeddings, k=n_cells, iters=iters)
+    trained, udim = _ivf_train_impl(embeddings, k=n_cells, iters=iters)
     lcents, lcounts = _collect_centroid_arrays(trained)
     dim = len(next(iter(lcents.values()))) if lcents else 0
-    if _centroid_fits(lcents) and _uniform_dim(base) == dim:
+    if dim and _centroid_fits(lcents) and udim == dim:
         # narrow probe list (round 6): the nprobe closest cells per vector
         # from one numpy matmul pass (``_numpy_probes``) — no exploded
         # join, no window; identical exact ranking to the fallback below

@@ -336,34 +336,52 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     (1 - distinct/total). High values flag boilerplate and degenerate
     text for removal before training.
 
-    Shape at scale: explode → one shuffle keyed (doc_id, gram) with
-    map-side combine → one shuffle keyed doc_id. Gram cardinality is
-    bounded by corpus size; no joins, no skew beyond document length
-    (bounded by the upstream length cap)."""
-    w = words(documents).groupBy("doc_id", "word").count()
-    word_stats = w.groupBy("doc_id").agg(
-        F.max("count").alias("top_word_n"),
-        F.sum("count").alias("n_words"),
-        F.count("*").alias("n_distinct_words"),
-    )
-    ws = F.col("ws")
-    grams = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 2),
-            lambda i: F.concat_ws(" ", ws[i], ws[i + 1]),
+    Shape at scale (round 6): every statistic is a PER-DOCUMENT function
+    of the text, so the whole computation is ONE narrow mapInPandas pass
+    (per-doc Counter in Python — guide §4.2) emitting integer stats;
+    zero shuffles, zero joins (was: two explode → (doc, gram) shuffle →
+    doc shuffle pipelines + a doc-keyed join). The fractions stay in
+    Catalyst so ROUND keeps the engine-pinned HALF_UP semantics."""
+    from collections import Counter
+
+    def it(batches):
+        import pandas as pd  # textops has no module-level pandas dep
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").split(" ")
+                ws = [x for x in raw if x != ""]
+                if not ws:
+                    continue  # the word_stats groupBy emitted no row
+                wc = Counter(ws)
+                if len(raw) >= 2:
+                    gc = Counter(
+                        raw[i] + " " + raw[i + 1] for i in range(len(raw) - 1)
+                    )
+                    top2, n2 = max(gc.values()), len(raw) - 1
+                else:
+                    top2, n2 = None, None  # left-join null (no 2-grams)
+                rows.append(
+                    (doc_id, max(wc.values()), len(ws), len(wc), top2, n2)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "top_word_n", "n_words",
+                    "n_distinct_words", "top_2gram_n", "n_2grams",
+                ],
+            )
+
+    stats = documents.select("doc_id", "text").mapInPandas(
+        it,
+        schema=(
+            "doc_id bigint, top_word_n bigint, n_words bigint, "
+            "n_distinct_words bigint, top_2gram_n bigint, n_2grams bigint"
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = (
-        documents.select("doc_id", F.split("text", " ").alias("ws"))
-        .select("doc_id", F.explode(grams).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("top_2gram_n"), F.sum("count").alias("n_2grams"))
     )
     return (
-        word_stats.join(g, "doc_id", "left")
+        stats
         .select(
             "doc_id",
             F.col("n_words").cast("int").alias("n_words"),
