@@ -1283,7 +1283,9 @@ def training_corpus_v2(
     gated = documents.where(_gopher_pass_col())
     scrubbed = pii_scrub(gated).select("doc_id", "scrubbed")
     reps = semdedup(embeddings, threshold, n_cells, iters, nprobe)
-    sem = scrubbed.join(reps, "doc_id")
+    # sem feeds the dedup agg AND the keeper join-back — materialize once
+    # (see _training_corpus_v4_full)
+    sem = scrubbed.join(reps, "doc_id").localCheckpoint(eager=True)
     keep = sem.groupBy(F.md5("scrubbed").alias("text_fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
@@ -1365,13 +1367,15 @@ def training_corpus_v3(
     gated = documents.where(_gopher_pass_col()).join(qc, "doc_id")
     scrubbed = pii_scrub(gated).select("doc_id", "scrubbed")
     reps = semdedup(embeddings, threshold, n_cells, iters, nprobe)
-    sem = scrubbed.join(reps, "doc_id")
+    # sem and kept each feed two consumers — materialize once
+    # (see _training_corpus_v4_full)
+    sem = scrubbed.join(reps, "doc_id").localCheckpoint(eager=True)
     keep = sem.groupBy(F.md5("scrubbed").alias("text_fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
     kept = keep.join(sem, "doc_id").select(
         "doc_id", F.col("scrubbed").alias("text"), "n_members"
-    )
+    ).localCheckpoint(eager=True)
     chunks = chunk_documents(kept, chunk_words, overlap)
     return chunks.join(kept.select("doc_id", "n_members"), "doc_id").select(
         "doc_id", "chunk_idx",
@@ -1504,7 +1508,17 @@ def _training_corpus_v4_full(
     gated = documents.where(_gopher_pass_col()).join(qc, "doc_id")
     scrubbed = pii_scrub(gated).select("doc_id", "scrubbed")
     reps = semdedup(embeddings, threshold, n_cells, iters, nprobe)
-    sem = scrubbed.join(reps.select("doc_id"), "doc_id")
+    # materialize each fan-out point ONCE (round 6): sem feeds the md5
+    # dedup agg AND the keeper join-back, withsrc feeds the mixture
+    # quota AND the survivor join, final feeds packing AND the output
+    # join — without these the whole upstream gate/scrub/dedup chain is
+    # embedded once per consumer (multiplicatively: the quality/gopher
+    # gates re-executed ~8x in the v4 plan; ReuseExchange can't dedupe
+    # the column-pruned copies). Each checkpointed set is a SURVIVOR
+    # table, the pipeline's natural stage boundary.
+    sem = scrubbed.join(reps.select("doc_id"), "doc_id").localCheckpoint(
+        eager=True
+    )
     keep = sem.groupBy(F.md5("scrubbed").alias("text_fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
@@ -1512,9 +1526,13 @@ def _training_corpus_v4_full(
         "doc_id", F.col("scrubbed").alias("text")
     )
     segd = segment_dedup(kept, seg_words)
-    withsrc = segd.join(doc_sources.select("doc_id", "source"), "doc_id")
+    withsrc = segd.join(
+        doc_sources.select("doc_id", "source"), "doc_id"
+    ).localCheckpoint(eager=True)
     sampled = mixture_sample(withsrc, rate, salt)
-    final = withsrc.join(sampled.select("doc_id"), "doc_id")
+    final = withsrc.join(sampled.select("doc_id"), "doc_id").localCheckpoint(
+        eager=True
+    )
     assign = pack_assign(
         final.select("doc_id", "source", F.col("dedup_text").alias("text")),
         seq_len,
