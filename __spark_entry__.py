@@ -490,37 +490,43 @@ _PINNED = [
     "task_layout_detection", "task_formula_detection",
     "task_layout_detection_v2", "task_visualization", "task_ocr_spans",
     "task_ocr_crop_assign", "task_formula_recognition", "task_table_parsing",
-    "semdedup", "training_corpus_v2", "training_corpus_v3",
-    "training_corpus_v4", "pipeline_dedup_extract",
-    "cosine_neardup_ivf", "dedup_against", "mixture_sample",
-    "segment_dedup", "pack_sequences",
-    # new in round 5 — pinned this round per the rotation rule
-    "dsir_select", "dsir_select_threshold", "leakage_safe_split",
-    "bm25_topk", "kcenter_select", "rrf_fuse_ann", "training_corpus_v5",
+    "training_corpus_v2", "training_corpus_v3",
+    "training_corpus_v4", "training_corpus_v5",
+    # touched in round 6 (optimization round) — pinned per the rotation
+    # rule: the numpy IVF train/probe chain, union-find components, the
+    # capstone-chain checkpoints, and the one-pass textops plans
+    "semdedup", "cosine_neardup_ivf", "pipeline_dedup_extract",
+    "neardup_clusters", "dedup_representatives",
+    "ann_ivf_train", "ann_ivf_topk_trained", "ann_ivf_topk_nprobe",
+    "baseline_ann_cosine_topk",
+    "dsir_select", "dsir_select_threshold", "bm25_topk", "rrf_fuse_ann",
+    "kcenter_select",
+    "bigram_lm_score", "tfidf_topk", "substring_dup_spans",
+    "ngram_jaccard", "repetition_stats",
 ]
 
 _ROTATING = [
-    # --- outside the r04 window (last driver-green r03 or earlier) ---
+    # --- stalest first (cycle position carries over round to round) ---
     "quality_classifier", "chunk_documents", "vocab_stats",
     "length_quantiles", "pii_scrub", "minhash_signature", "simhash",
-    "doc_fingerprint", "gopher_quality", "repetition_stats", "hll_words",
+    "doc_fingerprint", "gopher_quality", "hll_words",
     "cms_words", "hash_sample_docs", "dedup_exact", "lang_id_ngram",
     "quality_score", "token_count", "extract_min_slice", "asof_join",
     "sessionize", "session_window_agg", "o1_reading_order",
     "o5_interval_union", "j1_first_wins", "f2_lang_detect", "f3_md_escape",
     "p5_boilerplate_emit", "p2_a1_conf_envelope", "f9_page_id",
     "p6_geometry_normalize", "f6_f7_trunc_round",
-    # --- driver-green in r04, unchanged since ---
     "decontaminate", "neardup_against", "cosine_neardup_lsh",
-    "neardup_clusters", "dedup_representatives", "baseline_cosine_neardup",
-    "baseline_cosine_neardup_blocked", "ann_ivf_topk_trained",
-    "ann_ivf_topk_nprobe", "ann_ivf_train", "ann_ivf_topk",
-    "baseline_ann_cosine_topk", "url_canonicalize", "url_dedup",
+    "baseline_cosine_neardup",
+    "baseline_cosine_neardup_blocked", "ann_ivf_topk",
+    "url_canonicalize", "url_dedup",
     "url_domain_stats", "blocklist_filter", "bpe_merges", "bpe_vocab",
     "html_main_content", "html_block_stats", "html_dom_extract",
     "html_extract_turns", "lsh_candidate_pairs", "simhash_neardup",
-    "ngram_jaccard", "substring_dup_spans", "winnow_fingerprints",
-    "winnow_fingerprints_k4", "bigram_lm_score", "tfidf_topk",
+    "winnow_fingerprints", "winnow_fingerprints_k4",
+    # --- round-5 pins released this round (untouched in r6) ---
+    "dedup_against", "mixture_sample", "segment_dedup", "pack_sequences",
+    "leakage_safe_split",
 ]
 
 
