@@ -27,29 +27,37 @@ sections = [
     ("MinHash signatures", textops.minhash_signature(docs),
      "One shuffle; 8 parallel MIN aggregates with map-side combine."),
     ("ANN top-k (ground-truth baseline)", simsearch.baseline_ann_topk(emb),
-     "Brute-force baseline: BroadcastNestedLoopJoin with the tiny query "
-     "side broadcast - the corpus side never shuffles; cost is linear in "
-     "corpus x queries. The scale path is ivf_topk (cell-keyed equi-join)."),
+     "Brute-force baseline, r6 form: the corpus-side scan feeds ONE "
+     "MapInPandas doing an exact int64 GEMM against the closure-shipped "
+     "query matrix (no nested-loop join, no per-pair HOF); cost stays "
+     "linear in corpus x queries. Ragged/oversized workloads fall back "
+     "to the broadcast nested-loop form. The scale path is ivf_topk."),
     ("Production near-dup (LSH candidates -> exact cosine verify)",
      simsearch.cosine_neardup_lsh(docs, emb),
      "Every join is keyed (band/bucket equi-join, then vec_id fetches) - "
      "no BroadcastNestedLoopJoin anywhere, unlike the all-pairs baselines."),
     ("Multi-probe trained-IVF ANN (nprobe=3)",
      simsearch.ivf_topk_trained(emb, nprobe=3),
-     "The recall lever: queries fan out to their 3 closest cells via the "
-     "same cell-keyed equi-join; candidate volume is 3n/cells per query, "
-     "never all-pairs. Centroids ride in as broadcasts."),
+     "The recall lever: r6 computes assignment AND the 3-cell probe list "
+     "in one narrow numpy matmul pass per side (MapInPandas; centroids "
+     "ship in the closure, bounded by the k*dim budget) - the exploded "
+     "centroid broadcast join and per-vector window exist only in the "
+     "ragged/over-budget fallback. Candidate volume is 3n/cells per "
+     "query, never all-pairs."),
     ("Bigram-LM surprisal quality filter (r4)",
      textops.bigram_lm_score(docs),
-     "Integer-surprisal perplexity proxy: (doc,gram) pre-agg, two "
-     "combinable count shuffles, gram- and w1-keyed equi-joins, one "
-     "doc_id agg. ilog2 runs as conv(n,10,2) string length - pure "
-     "codegen, no Python, no log()."),
+     "Integer-surprisal perplexity proxy, r6 one-pass form: the "
+     "(doc,gram) pre-agg rides an explicit gram-keyed exchange, c12 is "
+     "a window SUM on that same partitioning and c1 one w1-keyed "
+     "window away - one corpus pass, three exchanges, zero joins "
+     "(was three passes and two joins). ilog2 runs as conv(n,10,2) "
+     "string length - pure codegen, no Python, no log()."),
     ("tf-idf top-k terms per doc (r4)",
      textops.tfidf_topk(docs),
-     "Vocabulary-sized df agg joined back word-keyed; the only "
-     "nested-loop is the broadcast of the literal one-row corpus count; "
-     "one per-doc top-k window."),
+     "r6: df is a window COUNT on the word-keyed exchange the (doc, "
+     "word) pre-agg already rides - no second pass, no df join; the "
+     "only nested-loop is the broadcast of the literal one-row corpus "
+     "count; one per-doc top-k window."),
     ("Gopher quality gate + PII scrub fused on one scan (map-only)",
      textops.pii_scrub(
          docs.where(textops._gopher_pass_col()).select("doc_id", "text")
@@ -60,11 +68,10 @@ sections = [
      "100 TB this pass is bandwidth-bound, never shuffle-bound."),
     ("Repetition stats (Gopher repetition filters)",
      textops.repetition_stats(docs),
-     "Two keyed exchanges per branch, both map-side combinable: "
-     "(doc_id, gram) counts then per-doc max/sum; the word/2-gram "
-     "branches join on doc_id (broadcast here, same-key sort-merge at "
-     "scale - both sides are already doc_id-aggregated and tiny "
-     "relative to the corpus)."),
+     "r6: every statistic is a per-document function of the text, so "
+     "the whole operator is ONE narrow MapInPandas pass emitting "
+     "integer stats - zero exchanges, zero joins; the fractions stay "
+     "in Catalyst so ROUND keeps pinned HALF_UP semantics."),
     ("HTML main-content extraction (relational, zero-shuffle)",
      htmlops.html_main_content(htmlops.documents_as_html(docs)),
      "The entire extractor - block split, per-block link-density "
@@ -117,11 +124,12 @@ sections = [
      textops.dsir_select_threshold(
          docs, docs.where("source = 'src0'"), min_score=-20
      ),
-     "Two combinable 256-row feature-count aggs, the delta table and "
-     "the one-row totals broadcast onto the gram stream, one "
-     "combinable doc_id agg, then a MAP-ONLY threshold compare - no "
-     "rank window anywhere (the exact-rank form adds exactly one "
-     "column-pruned single-partition window on top of this plan)."),
+     "Two combinable 256-row feature-count aggs (r6: checkpointed once "
+     "- the RDD scans in the plan - so the gram explode runs once, "
+     "not 3x), the delta table and one-row totals broadcast onto the "
+     "gram stream, one combinable doc_id agg, then a MAP-ONLY "
+     "threshold compare - no rank window anywhere (the exact-rank "
+     "form adds exactly one column-pruned single-partition window)."),
     ("Leakage-safe train/val split (r5)",
      textops.leakage_safe_split(docs),
      "Zero exchanges: two md5s and a string compare fused into the "
@@ -129,11 +137,12 @@ sections = [
      "so duplicate co-assignment costs nothing."),
     ("BM25 ranked retrieval (r5)",
      textops.bm25_topk(docs),
-     "The words stream is filtered to the |query| literal terms before "
-     "the (doc, term) tf pre-agg; df (|query| rows) and the totals "
-     "broadcast; the only shuffle join is doc-keyed tf-dl over docs "
-     "containing a query term. Top-k shares dsir's single-partition "
-     "(doc_id, score) window with the documented sketch swap."),
+     "r6: dl and every per-term tf ride ONE combinable per-doc wide "
+     "aggregate (checkpointed - the RDD scan in the plan); df and the "
+     "totals are tiny aggregates over it, broadcast back, and the "
+     "tf-dl join is gone (dl sits on the tf row). Top-k shares dsir's "
+     "single-partition (doc_id, score) window with the documented "
+     "sketch swap."),
     ("Reciprocal-rank fusion of two IVF retrievers (r5)",
      simsearch.rrf_fuse(simsearch.ivf_topk(emb),
                         simsearch.ivf_topk_trained(emb)),
