@@ -151,7 +151,8 @@ def simhash_neardup(
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.02, max_shingle_df: int = 64
+    documents: DataFrame, threshold: float = 0.02, max_shingle_df: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """n-gram Jaccard near-dup over the WHOLE corpus: pairs sharing >= 1
     shingle, similarity = |A∩B| / |A∪B| (exact integers; the ratio divides
@@ -176,8 +177,9 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("df") <= max_shingle_df)
         .select("doc_id", "shingle")
-        .localCheckpoint(eager=True)
     )
+    if materialize:
+        shf = shf.localCheckpoint(eager=True)
     sizes = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = shf.alias("a"), shf.alias("b")
     inter = (

@@ -19,9 +19,11 @@ def _plan(df) -> str:
 @pytest.mark.skipif(not os.path.exists(SF), reason="testdata absent")
 def test_jaccard_scan_prunes_columns(spark):
     # the uncapped whole-corpus jaccard must still read ONLY doc_id+text
-    # from the parquet scan (shingling never touches lang/source/n_chars)
+    # from the parquet scan (shingling never touches lang/source/n_chars).
+    # materialize=False exposes the un-checkpointed plan — the checkpoint
+    # (round 6) executes exactly this plan, scan included.
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(textops.ngram_jaccard_pairs(docs))
+    plan = _plan(textops.ngram_jaccard_pairs(docs, materialize=False))
     scan = plan[plan.index("Scan parquet"):]
     rs = scan[scan.index("ReadSchema"): scan.index("\n", scan.index("ReadSchema"))]
     assert "text" in rs, rs
