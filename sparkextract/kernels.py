@@ -58,6 +58,20 @@ def nms_keep(boxes: np.ndarray, order: np.ndarray, iou_thres: float) -> np.ndarr
     """
     if len(order) == 0:
         return order
+    if len(order) == 2:
+        # two-candidate fast path (the common payload shape): identical
+        # IEEE arithmetic on Python floats, no numpy dispatch
+        i, j = int(order[0]), int(order[1])
+        bi, bj = boxes[i].tolist(), boxes[j].tolist()
+        ai = (bi[2] - bi[0]) * (bi[3] - bi[1])
+        aj = (bj[2] - bj[0]) * (bj[3] - bj[1])
+        iw = min(bi[2], bj[2]) - max(bi[0], bj[0])
+        ih = min(bi[3], bj[3]) - max(bi[1], bj[1])
+        inter = (iw if iw > 0 else 0.0) * (ih if ih > 0 else 0.0)
+        union = aj + ai - inter
+        iou = inter / max(union, 1e-12) if union > 0 else 0.0
+        keep2 = [i] if iou > iou_thres else [i, j]
+        return np.asarray(keep2, dtype=np.int64)
     areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     kept: list[int] = []
     for i in order:

@@ -61,13 +61,18 @@ def ocr_page_arrays(
     # last bit (np.mean switches to pairwise summation above 8 elements)
     # and skips numpy dispatch overhead on these 1-5 element groups
     scores_list = raw_scores.tolist()
-    for reg in region_boxes:
+    # center containment on Python floats for the usual handful of raw
+    # dets (same IEEE compares, ~6 numpy dispatches per region avoided)
+    rcx_l, rcy_l = rcx.tolist(), rcy.tolist()
+    n_raw = len(rcx_l)
+    for reg in region_boxes.tolist():
         rx0, ry0, rx1, ry1 = reg
         nw, nh = rx1 - rx0 + 2 * _PAD, ry1 - ry0 + 2 * _PAD
-        mine = np.flatnonzero(
-            (rcx >= rx0) & (rcx <= rx1) & (rcy >= ry0) & (rcy <= ry1)
-        )
-        if len(mine) == 0:
+        mine = [
+            j for j in range(n_raw)
+            if rx0 <= rcx_l[j] <= rx1 and ry0 <= rcy_l[j] <= ry1
+        ]
+        if not mine:
             continue
         shift = np.array([rx0, ry0, rx0, ry0]) - _PAD
         crop = raw_boxes[mine] - shift
@@ -84,7 +89,7 @@ def ocr_page_arrays(
         # ~5µs numpy dispatch per flatnonzero/lexsort avoided per box)
         ccx = ((crop[:, 0] + crop[:, 2]) / 2.0).tolist()
         ccy = ((crop[:, 1] + crop[:, 3]) / 2.0).tolist()
-        mine_l = mine.tolist()
+        mine_l = mine
         m = len(mine_l)
         sx, sy = float(shift[0]), float(shift[1])
         for b in np.asarray(boxes).tolist():

@@ -44,7 +44,9 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
     if ldf.empty:
         return pd.DataFrame(columns=[f.name for f in schema.DETECTIONS.fields])
     ldf["is_page"] = is_page[ldf.index].values
-    tkey = ldf["conv_id"].astype(str) + "\x00" + ldf["turn_idx"].astype(str)
+    # multi-column groupby, not a concatenated string key: building
+    # "\x00"-joined keys costs two astype(str) passes over every line row
+    tkey = [ldf["conv_id"], ldf["turn_idx"]]
     ldf["page_seq"] = ldf.groupby(tkey, sort=False)["is_page"].cumsum().astype("int32")
     ldf = ldf[ldf["page_seq"] > 0]  # @det before any @page is ignored
     ldf["page_seq"] -= 1
@@ -82,13 +84,7 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
         det_df[c] = pd.to_numeric(fields[2 + i], errors="coerce").values
     det_df["content"] = fields[6].fillna("").values
     det_df = det_df.dropna(subset=["score", "x0", "y0", "x1", "y1"])
-    pkey = (
-        det_df["conv_id"].astype(str)
-        + "\x00"
-        + det_df["turn_idx"].astype(str)
-        + "\x00"
-        + det_df["page_seq"].astype(str)
-    )
+    pkey = [det_df["conv_id"], det_df["turn_idx"], det_df["page_seq"]]
     det_df["det_idx"] = det_df.groupby(pkey, sort=False).cumcount()
 
     # --- classification into branches ---
@@ -115,21 +111,24 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
         kind="stable",
     ).reset_index(drop=True)
     boxes = det_df[["x0", "y0", "x1", "y1"]].to_numpy(dtype=np.float64)
-    grp = (
-        det_df["conv_id"].astype(str)
-        + "\x00"
-        + det_df["turn_idx"].astype(str)
-        + "\x00"
-        + det_df["page_seq"].astype(str)
-        + "\x00"
-        + det_df["branch"].astype(str)
-        + "\x00"
-        + det_df["category"].astype(str)
-    ).to_numpy()
+    # group boundaries from consecutive-row key changes (the frame is
+    # already sorted by these keys) — no concatenated string key build
+    _gc = det_df["conv_id"].to_numpy(object)
+    _gt = det_df["turn_idx"].to_numpy()
+    _gp = det_df["page_seq"].to_numpy()
+    _gb = det_df["branch"].to_numpy()
+    _gcat = det_df["category"].to_numpy(object)
+    grp_change = (
+        (_gc[1:] != _gc[:-1])
+        | (_gt[1:] != _gt[:-1])
+        | (_gp[1:] != _gp[:-1])
+        | (_gb[1:] != _gb[:-1])
+        | (_gcat[1:] != _gcat[:-1])
+    )
     keep = np.ones(len(det_df), dtype=bool)
     model_rows = det_df["branch"].to_numpy() < 2
     start = 0
-    for end in np.flatnonzero(np.r_[grp[1:] != grp[:-1], True]) + 1:
+    for end in np.flatnonzero(np.r_[grp_change, True]) + 1:
         if model_rows[start] and end - start > 1:
             kept = kernels.nms_keep(
                 boxes[start:end], np.arange(end - start), schema.IOU_THRES
@@ -146,13 +145,7 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
         ascending=[True, True, True, True, False, True],
         kind="stable",
     ).reset_index(drop=True)
-    pkey = (
-        det_df["conv_id"].astype(str)
-        + "\x00"
-        + det_df["turn_idx"].astype(str)
-        + "\x00"
-        + det_df["page_seq"].astype(str)
-    )
+    pkey = [det_df["conv_id"], det_df["turn_idx"], det_df["page_seq"]]
     det_df["det_order"] = det_df.groupby(pkey, sort=False).cumcount().astype("int32")
     model = det_df["branch"] < 2
     for c in ("x0", "y0", "x1", "y1"):

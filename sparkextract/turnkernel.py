@@ -34,6 +34,24 @@ def _fill_first_wins(sboxes: np.ndarray, bboxes: np.ndarray) -> np.ndarray:
     (n_spans × n_blocks) — both are tens per page."""
     if len(sboxes) == 0 or len(bboxes) == 0:
         return np.full(len(sboxes), -1, dtype=np.int64)
+    if len(sboxes) * len(bboxes) <= 64:
+        # tiny-page fast path: same IEEE arithmetic on Python floats,
+        # first-qualifying-block scan ≡ argmax of the hit matrix
+        srows = sboxes.tolist()
+        brows = bboxes.tolist()
+        out = []
+        for s in srows:
+            area = (s[2] - s[0]) * (s[3] - s[1])
+            hit = -1
+            if area > 0:
+                for bi, b in enumerate(brows):
+                    ox = min(s[2], b[2]) - max(s[0], b[0])
+                    oy = min(s[3], b[3]) - max(s[1], b[1])
+                    if ox >= 0 and oy >= 0 and (ox * oy) / area > schema.FILL_RATIO:
+                        hit = bi
+                        break
+            out.append(hit)
+        return np.asarray(out, dtype=np.int64)
     sx0, sy0, sx1, sy1 = (sboxes[:, i][:, None] for i in range(4))
     bx0, by0, bx1, by1 = (bboxes[:, i][None, :] for i in range(4))
     ox = np.minimum(sx1, bx1) - np.maximum(sx0, bx0)
