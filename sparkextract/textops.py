@@ -35,8 +35,10 @@ def exact_dedup(documents: DataFrame, prefix: int = 64) -> DataFrame:
     )
 
 
-def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
-    """doc_id, shingle: distinct k-word shingles (SURVEY minhash base)."""
+def shingles(documents: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
+    """doc_id, shingle: k-word shingles, distinct by default (SURVEY
+    minhash base). ``distinct=False`` skips the dedup exchange for
+    consumers that are multiplicity-insensitive (MIN aggregation)."""
     # materialize the split as a column FIRST: an expression referenced
     # inside a higher-order-function lambda is re-evaluated per element
     # (split(text) would run 3× per shingle → quadratic per doc)
@@ -49,17 +51,21 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return words_df.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    out = words_df.select("doc_id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signature(documents: DataFrame, n: int = N_MINHASH) -> DataFrame:
     """doc_id, seed, minhash: min over shingles of md5(seed:shingle).
 
     Computed as n parallel MIN aggregates over ONE pass of the shingle
-    set (no ×n seed explosion through the shuffle — map-side combine sees
-    each shingle once), then unpivoted to the (doc_id, seed, minhash)
-    shape. 8× less shuffle input than the naive explode."""
-    sh = shingles(documents)
+    stream (no ×n seed explosion through the shuffle — map-side combine
+    reduces each doc to one row per task), then unpivoted to the
+    (doc_id, seed, minhash) shape. 8× less shuffle input than the naive
+    explode; round 6 also drops the shingle ``distinct`` exchange —
+    MIN over a multiset equals MIN over its set, so the dedup bought
+    nothing but a full corpus-shingle shuffle."""
+    sh = shingles(documents, distinct=False)
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle")))).alias(f"s{s}")
         for s in range(n)
