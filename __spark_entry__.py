@@ -503,12 +503,13 @@ _PINNED = [
     "kcenter_select",
     "bigram_lm_score", "tfidf_topk", "substring_dup_spans",
     "ngram_jaccard", "repetition_stats",
+    "minhash_signature", "lsh_candidate_pairs", "cosine_neardup_lsh",
 ]
 
 _ROTATING = [
     # --- stalest first (cycle position carries over round to round) ---
     "quality_classifier", "chunk_documents", "vocab_stats",
-    "length_quantiles", "pii_scrub", "minhash_signature", "simhash",
+    "length_quantiles", "pii_scrub", "simhash",
     "doc_fingerprint", "gopher_quality", "hll_words",
     "cms_words", "hash_sample_docs", "dedup_exact", "lang_id_ngram",
     "quality_score", "token_count", "extract_min_slice", "asof_join",
@@ -516,13 +517,13 @@ _ROTATING = [
     "o5_interval_union", "j1_first_wins", "f2_lang_detect", "f3_md_escape",
     "p5_boilerplate_emit", "p2_a1_conf_envelope", "f9_page_id",
     "p6_geometry_normalize", "f6_f7_trunc_round",
-    "decontaminate", "neardup_against", "cosine_neardup_lsh",
+    "decontaminate", "neardup_against",
     "baseline_cosine_neardup",
     "baseline_cosine_neardup_blocked", "ann_ivf_topk",
     "url_canonicalize", "url_dedup",
     "url_domain_stats", "blocklist_filter", "bpe_merges", "bpe_vocab",
     "html_main_content", "html_block_stats", "html_dom_extract",
-    "html_extract_turns", "lsh_candidate_pairs", "simhash_neardup",
+    "html_extract_turns", "simhash_neardup",
     "winnow_fingerprints", "winnow_fingerprints_k4",
     # --- round-5 pins released this round (untouched in r6) ---
     "dedup_against", "mixture_sample", "segment_dedup", "pack_sequences",

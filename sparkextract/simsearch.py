@@ -944,14 +944,79 @@ def _propagate_min_labels(
     )
 
 
+# vector-table budget for the broadcast verify fast path below: rows×dim
+# values of int64 (≤ ~16 MB broadcast). Past it — i.e. for genuinely
+# large corpora — the join phrasing is the scale path.
+_VERIFY_TABLE_VALUES = 2_000_000
+
+
 def _verify_cosine_pairs(
     cand: DataFrame, embeddings: DataFrame, threshold: float,
     a_col: str = "doc_a", b_col: str = "doc_b",
 ) -> DataFrame:
     """Exact integer-quantized cosine verification of candidate id pairs:
     keep cos(a,b) > threshold via dot²·10⁶ > t²·10⁶·|a|²·|b|² (no sqrt,
-    no FP division — engine-portable). Two keyed joins to fetch vectors."""
+    no FP division — engine-portable).
+
+    Round 6 small-corpus fast path: when the whole quantized vector
+    table fits ``_VERIFY_TABLE_VALUES`` (uniform dims, no nulls), it is
+    broadcast once and each candidate batch is verified by ONE exact
+    int64 row-dot pass in numpy (`cosine_neardup_blocked`'s arithmetic:
+    the squared-threshold compare runs in float64 with the identical
+    association Spark's double expressions use). Pairs whose ids lack a
+    (non-null, well-formed) vector drop exactly as the inner joins
+    dropped them. Bigger corpora keep the two keyed joins — that is the
+    100 TB shape."""
     base = quantized(embeddings)
+    t2i = int(round(threshold * threshold * 1_000_000))
+    # bounded probe: collect at most 32769 rows — enough to decide, and
+    # the budget check below re-guards rows×dim before building
+    probe = base.limit(32769).collect()
+    dims = {len(r["q"]) for r in probe if r["q"]}
+    if (
+        probe
+        and len(probe) <= 32768
+        and len(dims) == 1
+        and all(r["q"] for r in probe)
+        and len(probe) * next(iter(dims)) <= _VERIFY_TABLE_VALUES
+    ):
+        ids = np.array([int(r["vec_id"]) for r in probe], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        V = np.array([probe[i]["q"] for i in order], dtype=np.int64)
+        n2 = np.einsum("ij,ij->i", V, V)
+        bc = embeddings.sparkSession.sparkContext.broadcast((ids_s, V, n2))
+        t2f = float(t2i)
+
+        def it(batches):
+            tids, tV, tn2 = bc.value
+            n = len(tids)
+            for pdf in batches:
+                pdf = pdf.dropna()
+                if not len(pdf):
+                    continue
+                a = pdf[a_col].to_numpy(dtype=np.int64)
+                b = pdf[b_col].to_numpy(dtype=np.int64)
+                pa = np.searchsorted(tids, a)
+                pb = np.searchsorted(tids, b)
+                ok = (pa < n) & (pb < n)
+                pa0 = np.where(ok, pa, 0)
+                pb0 = np.where(ok, pb, 0)
+                ok &= (tids[pa0] == a) & (tids[pb0] == b)
+                dots = np.einsum("ij,ij->i", tV[pa0], tV[pb0])
+                d = dots.astype(np.float64)
+                keep = ok & (dots > 0) & (
+                    d * d * 1_000_000.0
+                    > t2f * tn2[pa0].astype(np.float64) * tn2[pb0].astype(np.float64)
+                )
+                yield pd.DataFrame(
+                    {"a_id": a[keep], "b_id": b[keep], "dot": dots[keep]}
+                )
+
+        return cand.select(
+            F.col(a_col).cast("bigint").alias(a_col),
+            F.col(b_col).cast("bigint").alias(b_col),
+        ).mapInPandas(it, schema="a_id bigint, b_id bigint, dot bigint")
     norms = base.select(
         "vec_id", F.col("q").alias("v"), _dot(F.col("q"), F.col("q")).alias("n2")
     )

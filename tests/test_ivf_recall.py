@@ -62,6 +62,7 @@ def test_numpy_paths_equal_join_paths(spark, monkeypatch):
 
     fast = snap()
     monkeypatch.setattr(simsearch, "_CENTROID_BUDGET", 0)
+    monkeypatch.setattr(simsearch, "_VERIFY_TABLE_VALUES", 0)
     slow = snap()
     for key in fast:
         assert fast[key] == slow[key], key
